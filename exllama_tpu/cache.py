@@ -1,0 +1,164 @@
+"""Preallocated KV cache as an explicit, functional pytree.
+
+Re-design of the reference's ``ExLlamaCache`` (model.py:557-631): per-layer
+fp16 tensors with a single position cursor. Differences, all TPU-motivated:
+
+  * Layers are stacked into one [L, B, S_max, Hkv, D] array so the model can
+    ``lax.scan`` over layers and the cache threads through as scan xs/ys.
+  * Layout is sequence-major ([.., S, Hkv, D] instead of the reference's
+    [.., Hkv, S, D]): new rows are one contiguous dynamic-update-slice and
+    decode attention streams the cache linearly.
+  * dtype is bfloat16 (TPU-native) instead of fp16.
+  * All mutation is functional; under jit with donated buffers XLA updates
+    in place. ``current_seq_len`` lives on the host (the generator owns the
+    cursor, as in the reference where generators mutate it directly,
+    generator.py:217/259/699) and is passed into jitted steps as a device
+    scalar.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCacheState:
+    """Device half of the cache: the stacked KV arrays."""
+
+    k: jax.Array  # [L, B, S_max, Hkv, D]
+    v: jax.Array  # [L, B, S_max, Hkv, D]
+
+
+class ExLlamaCache:
+    """Host-side cache handle: device arrays + position cursor + ops.
+
+    Mirrors the reference API surface (zero/clone/roll_left/copy_states,
+    model.py:588-631) with functional device updates.
+    """
+
+    def __init__(
+        self,
+        model=None,
+        *,
+        batch_size: int = 1,
+        max_seq_len: int | None = None,
+        copy_from: "ExLlamaCache | None" = None,
+        shape: tuple[int, int, int, int, int] | None = None,
+        dtype=jnp.bfloat16,
+    ):
+        if copy_from is not None:
+            self.batch_size = copy_from.batch_size
+            self.max_seq_len = copy_from.max_seq_len
+            self.shape = copy_from.shape
+            self.dtype = copy_from.dtype
+            self.state = KVCacheState(copy_from.state.k, copy_from.state.v)
+            self.current_seq_len = copy_from.current_seq_len
+            return
+
+        if model is not None:
+            cfg = model.config
+            batch_size = batch_size or cfg.batch_size
+            max_seq_len = max_seq_len or cfg.max_seq_len
+            shape = (
+                cfg.num_hidden_layers,
+                batch_size,
+                max_seq_len,
+                cfg.num_key_value_heads,
+                cfg.head_dim,
+            )
+        assert shape is not None, "need model=, copy_from= or shape="
+        self.batch_size = shape[1]
+        self.max_seq_len = shape[2]
+        self.shape = shape
+        self.dtype = dtype
+        self.state = KVCacheState(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype)
+        )
+        self.current_seq_len = 0
+
+    # -- reference-parity ops (model.py:588-631) ---------------------------
+
+    def zero(self):
+        self.state = KVCacheState(
+            jnp.zeros_like(self.state.k), jnp.zeros_like(self.state.v)
+        )
+        self.current_seq_len = 0
+
+    def clone(self) -> "ExLlamaCache":
+        return ExLlamaCache(copy_from=self)
+
+    def roll_left(self):
+        """Drop position 0, shift everything left by one (beam bookkeeping,
+        reference model.py:601-608)."""
+        self.state = KVCacheState(
+            k=jnp.roll(self.state.k, -1, axis=2),
+            v=jnp.roll(self.state.v, -1, axis=2),
+        )
+        self.current_seq_len -= 1
+
+    def copy_states(
+        self,
+        target: "ExLlamaCache",
+        from_column: int,
+        from_columns: int,
+        to_column: int,
+        to_columns: int,
+        from_row: int = 0,
+        from_rows: int = 1,
+        to_row: int = 0,
+        to_rows: int = 1,
+    ):
+        """Rectangle copy between caches (reference model.py:611-631):
+        copy ``from_columns`` cache positions starting at ``from_column`` of
+        batch row ``from_row`` into ``target`` at ``to_column``/``to_row``,
+        broadcasting over rows when from_rows == 1 < to_rows."""
+        assert from_columns == to_columns or from_columns == 1
+        src_k = jax.lax.dynamic_slice(
+            self.state.k,
+            (0, from_row, from_column, 0, 0),
+            (
+                self.shape[0],
+                from_rows,
+                from_columns,
+                self.shape[3],
+                self.shape[4],
+            ),
+        )
+        src_v = jax.lax.dynamic_slice(
+            self.state.v,
+            (0, from_row, from_column, 0, 0),
+            (
+                self.shape[0],
+                from_rows,
+                from_columns,
+                self.shape[3],
+                self.shape[4],
+            ),
+        )
+        if from_rows == 1 and to_rows > 1:
+            src_k = jnp.broadcast_to(
+                src_k, (self.shape[0], to_rows) + src_k.shape[2:]
+            )
+            src_v = jnp.broadcast_to(
+                src_v, (self.shape[0], to_rows) + src_v.shape[2:]
+            )
+        if from_columns == 1 and to_columns > 1:
+            src_k = jnp.broadcast_to(
+                src_k,
+                src_k.shape[:2] + (to_columns,) + src_k.shape[3:],
+            )
+            src_v = jnp.broadcast_to(
+                src_v,
+                src_v.shape[:2] + (to_columns,) + src_v.shape[3:],
+            )
+        tk = jax.lax.dynamic_update_slice(
+            target.state.k, src_k.astype(target.dtype), (0, to_row, to_column, 0, 0)
+        )
+        tv = jax.lax.dynamic_update_slice(
+            target.state.v, src_v.astype(target.dtype), (0, to_row, to_column, 0, 0)
+        )
+        target.state = KVCacheState(tk, tv)

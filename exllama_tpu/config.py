@@ -1,0 +1,135 @@
+"""Model + runtime configuration.
+
+TPU-native re-design of the reference's ``ExLlamaConfig`` (reference
+model.py:39-127): parses a HuggingFace ``config.json`` for the Llama family,
+holds the runtime knobs (sequence lengths, chunked-prefill bounds, RoPE
+scaling) and the TPU tuning knobs that replace the reference's CUDA tuning
+params (model.py:93-117).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TuningParams:
+    """Kernel/runtime tuning knobs (TPU analogue of reference tuning.h:4-16).
+
+    The reference tunes CUDA thresholds (matmul_recons_thd, fused_mlp_thd,
+    sdp_thd, stream juggling). On TPU the analogous levers are kernel choice
+    and tile shapes.
+    """
+
+    # 'pallas' = fused dequant+matmul Pallas kernel; 'xla' = dequantize then
+    # jnp.dot (the analogue of the reference's reconstruct+cuBLAS path,
+    # exllama_ext.cpp:217-239); 'auto' picks per-backend.
+    matmul_impl: str = "auto"
+    # Rows at/above which the Pallas kernel switches from the GEMV tiling to
+    # the MXU prefill tiling (both are the same kernel family; this only
+    # changes block shapes).
+    matmul_prefill_rows: int = 8
+    # K-dimension tile for the q4 matmul kernel. Must be a multiple of the
+    # quantization groupsize.
+    q4_block_k: int = 512
+    # attention implementation: 'xla' (masked sdpa built from einsums) or
+    # 'pallas' (flash-attention kernel).
+    attn_impl: str = "xla"
+    # Decode-time attention length bucketing: round the attended KV length up
+    # to a multiple of this to bound recompilation while skipping most of the
+    # unused cache (0 = always attend over the full max_seq_len).
+    attn_len_bucket: int = 256
+
+
+class ExLlamaConfig:
+    """Parses config.json and holds runtime settings.
+
+    Mirrors the surface of reference model.py:39-127 so users of the
+    reference can port call sites directly, but all fields drive a JAX/TPU
+    runtime instead of CUDA tuning globals.
+    """
+
+    def __init__(self, model_config_path: Optional[str] = None):
+        if model_config_path is not None:
+            with open(model_config_path) as f:
+                read_config = json.load(f)
+        else:
+            read_config = {}
+
+        self.model_config_path = model_config_path
+
+        # -- Model architecture (HF config.json fields; reference model.py:51-81)
+        self.bos_token_id = read_config.get("bos_token_id", 1)
+        self.eos_token_id = read_config.get("eos_token_id", 2)
+        self.pad_token_id = read_config.get("pad_token_id", 0)
+        self.hidden_size = read_config.get("hidden_size", 4096)
+        self.initializer_range = read_config.get("initializer_range", 0.02)
+        self.intermediate_size = read_config.get("intermediate_size", 11008)
+        self.num_attention_heads = read_config.get("num_attention_heads", 32)
+        self.num_hidden_layers = read_config.get("num_hidden_layers", 32)
+        # GQA: absent for Llama-1 → same as n_heads (reference model.py:62-67)
+        self.num_key_value_heads = read_config.get(
+            "num_key_value_heads", self.num_attention_heads
+        )
+        self.vocab_size = read_config.get("vocab_size", 32000)
+        self.rms_norm_eps = read_config.get("rms_norm_eps", 1e-6)
+        self.rotary_embedding_base = read_config.get("rope_theta", 10000.0)
+        self.head_dim = read_config.get(
+            "head_dim", self.hidden_size // self.num_attention_heads
+        )
+        self.num_key_value_groups = (
+            self.num_attention_heads // self.num_key_value_heads
+        )
+
+        # -- Checkpoint location (set by the user after construction, like the
+        # reference's config.model_path)
+        self.model_path: Optional[str] = None
+
+        # -- Runtime knobs (reference model.py:83-91)
+        self.max_seq_len = 2048          # KV cache capacity / context limit
+        self.max_input_len = 2048        # chunked-prefill max rows per chunk
+        self.max_attention_size = 2048 ** 2  # bound on q_len*k_len per chunk
+        self.compress_pos_emb = 1.0      # linear RoPE position compression
+        self.alpha_value = 1.0           # NTK RoPE alpha scaling
+        self.batch_size = 1              # KV cache batch dimension
+
+        # -- Quantization knobs (normally auto-detected from tensor shapes)
+        self.groupsize: Optional[int] = None
+        self.act_order: bool = False
+
+        # -- TPU runtime
+        self.tuning = TuningParams()
+        self.dtype = "bfloat16"          # activation dtype
+        self.tp_size = 1                 # tensor-parallel degree over mesh
+        self.dp_size = 1                 # data/batch-parallel degree
+
+    def calculate_rotary_embedding_base(self):
+        """NTK alpha → effective theta (reference model.py:126-127)."""
+        self.rotary_embedding_base = self.rotary_embedding_base * (
+            self.alpha_value ** (self.head_dim / (self.head_dim - 2))
+        )
+
+    @property
+    def rope_scale(self) -> float:
+        return 1.0 / self.compress_pos_emb
+
+    def model_files(self) -> list[str]:
+        """All .safetensors shards under model_path (file or directory)."""
+        assert self.model_path is not None, "config.model_path not set"
+        if os.path.isdir(self.model_path):
+            files = sorted(
+                os.path.join(self.model_path, fn)
+                for fn in os.listdir(self.model_path)
+                if fn.endswith(".safetensors")
+            )
+        else:
+            files = [self.model_path]
+        if not files:
+            raise FileNotFoundError(
+                f"no .safetensors found under {self.model_path}"
+            )
+        return files

@@ -1,0 +1,317 @@
+"""GPTQ tensor format: unpack, act-order repack, and the TPU panel layout.
+
+GPTQ checkpoints store, per linear layer (reference model.py:141-145):
+
+  * ``qweight``  int32 [K/8,  N]   — 8 4-bit weights per word packed along K
+                                     (rows): bits 4*i of qweight[r, n] hold
+                                     the quantized value of W[r*8+i, n].
+  * ``qzeros``   int32 [K/gs, N/8] — 8 4-bit zero-points per word packed
+                                     along N (columns); the *stored* value is
+                                     zero-1 so dequantization is
+                                     ``(q - (z+1)) * s`` (reference
+                                     q4_matrix.cu:199, matrix.cuh:95,143).
+  * ``scales``   fp16  [K/gs, N]
+  * ``g_idx``    int32 [K]         — only for act-order models: the
+                                     quantization group of each row, in
+                                     activation-importance order.
+
+The reference keeps this layout and unpacks nibbles inside its CUDA kernel
+(matrix.cuh:87-133). On TPU the VPU operates on (sublane, lane) tiles with a
+128-wide lane dimension, so we repack once at load time into a layout whose
+in-kernel unpack is a cheap lane-dimension concatenation:
+
+TPU *panel* layout
+------------------
+``qweight_tpu`` int32 [K, N_pad/8]. Columns are grouped into panels of
+``PANEL = 8*LANE = 1024`` true columns. Within panel ``p``, word column
+``p*LANE + j`` holds, in nibble ``i``, the quantized value of true column
+``c = p*PANEL + i*LANE + j``. Unpacking a [bk, LANE] word tile therefore
+yields eight [bk, LANE] nibble tiles which concatenate along lanes into the
+panel's [bk, PANEL] weight tile in true column order — no interleaving, no
+gathers. N is zero-padded to a multiple of PANEL (padded columns get
+scale = 0 so they dequantize to exactly 0).
+
+Act-order is resolved at load time by sorting rows group-sequential and
+remembering the row permutation ``x_map`` to apply to the activation — the
+reference's ``make_sequential``/``x_map`` trick (q4_matrix.cu:104-168), which
+beats per-element g_idx gathers on any hardware.
+
+Everything in this module is host-side numpy; the outputs are ordinary
+arrays that become leaves of the model's parameter pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+LANE = 128
+PANEL = 8 * LANE  # 1024 true columns per int32-word panel
+
+
+# ---------------------------------------------------------------------------
+# GPTQ wire-format pack/unpack (host, numpy)
+# ---------------------------------------------------------------------------
+
+def unpack_gptq_qweight(qweight: np.ndarray) -> np.ndarray:
+    """int32 [K/8, N] → uint8 [K, N] of 4-bit values (row-packed)."""
+    assert qweight.dtype == np.int32 and qweight.ndim == 2
+    kw, n = qweight.shape
+    w = qweight.astype(np.uint32)
+    out = np.empty((kw, 8, n), dtype=np.uint8)
+    for i in range(8):
+        out[:, i, :] = (w >> (4 * i)) & 0xF
+    return out.reshape(kw * 8, n)
+
+
+def pack_gptq_qweight(q: np.ndarray) -> np.ndarray:
+    """uint8 [K, N] of 4-bit values → int32 [K/8, N] (row-packed)."""
+    k, n = q.shape
+    assert k % 8 == 0
+    q = q.reshape(k // 8, 8, n).astype(np.uint32)
+    out = np.zeros((k // 8, n), dtype=np.uint32)
+    for i in range(8):
+        out |= (q[:, i, :] & 0xF) << (4 * i)
+    return out.astype(np.int32)
+
+
+def unpack_gptq_qzeros(qzeros: np.ndarray) -> np.ndarray:
+    """int32 [G, N/8] → uint8 [G, N] of stored zero-points (column-packed)."""
+    assert qzeros.dtype == np.int32 and qzeros.ndim == 2
+    g, nw = qzeros.shape
+    z = qzeros.astype(np.uint32)
+    out = np.empty((g, nw, 8), dtype=np.uint8)
+    for i in range(8):
+        out[:, :, i] = (z >> (4 * i)) & 0xF
+    return out.reshape(g, nw * 8)
+
+
+def pack_gptq_qzeros(z: np.ndarray) -> np.ndarray:
+    """uint8 [G, N] → int32 [G, N/8] (column-packed)."""
+    g, n = z.shape
+    assert n % 8 == 0
+    z = z.reshape(g, n // 8, 8).astype(np.uint32)
+    out = np.zeros((g, n // 8), dtype=np.uint32)
+    for i in range(8):
+        out |= (z[:, :, i] & 0xF) << (4 * i)
+    return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Act-order → sequential rows + activation permutation
+# ---------------------------------------------------------------------------
+
+def make_sequential(
+    q: np.ndarray, g_idx: np.ndarray, groupsize: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder rows of the unpacked weight so groups are sequential.
+
+    Returns (q_sequential, x_map) where ``q_sequential[i] = q[x_map[i]]`` and
+    row ``i`` of the sequential weight belongs to group ``i // groupsize``.
+    The activation must be permuted the same way: ``x_seq = x[..., x_map]``;
+    then ``x_seq @ W_seq == x @ W``. Mirrors reference q4_matrix.cu:104-168.
+    """
+    k = q.shape[0]
+    assert g_idx.shape == (k,)
+    counts = np.bincount(g_idx, minlength=(k + groupsize - 1) // groupsize)
+    if not np.all(counts[: k // groupsize] == groupsize):
+        raise ValueError("g_idx does not assign exactly groupsize rows/group")
+    x_map = np.argsort(g_idx, kind="stable").astype(np.int32)
+    return q[x_map], x_map
+
+
+# ---------------------------------------------------------------------------
+# TPU panel layout
+# ---------------------------------------------------------------------------
+
+def repack_panels(q: np.ndarray) -> np.ndarray:
+    """uint8 [K, N] 4-bit values → int32 [K, N_pad/8] in panel layout.
+
+    N is zero-padded up to a multiple of PANEL. Within each panel of PANEL
+    true columns, nibble i of word column j holds true column i*LANE + j.
+    """
+    k, n = q.shape
+    n_pad = -(-n // PANEL) * PANEL
+    if n_pad != n:
+        q = np.concatenate(
+            [q, np.zeros((k, n_pad - n), dtype=q.dtype)], axis=1
+        )
+    p = n_pad // PANEL
+    # [K, P, 8, LANE]: panel p, nibble i, lane j ← true column p*PANEL+i*LANE+j
+    q = q.reshape(k, p, 8, LANE).astype(np.uint32)
+    words = np.zeros((k, p, LANE), dtype=np.uint32)
+    for i in range(8):
+        words |= (q[:, :, i, :] & 0xF) << (4 * i)
+    return words.reshape(k, p * LANE).astype(np.int32)
+
+
+def unpack_panels(qweight_tpu: np.ndarray, n: Optional[int] = None) -> np.ndarray:
+    """Inverse of :func:`repack_panels`: int32 [K, N_pad/8] → uint8 [K, N]."""
+    k, nw = qweight_tpu.shape
+    assert nw % LANE == 0
+    p = nw // LANE
+    w = qweight_tpu.reshape(k, p, LANE).astype(np.uint32)
+    out = np.empty((k, p, 8, LANE), dtype=np.uint8)
+    for i in range(8):
+        out[:, :, i, :] = (w >> (4 * i)) & 0xF
+    out = out.reshape(k, p * PANEL)
+    return out[:, :n] if n is not None else out
+
+
+# ---------------------------------------------------------------------------
+# QuantTensor — the on-device representation of one quantized linear layer
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantTensor:
+    """A quantized (in_features × out_features) matrix in TPU panel layout.
+
+    Dequantization of true column c, row k (group g = k // groupsize):
+        w[k, c] = q[k, c] * scales[g, c] - zscale[g, c]
+    where ``zscale = (stored_zero + 1) * scales`` is precomputed at load so
+    the kernel does one multiply and one subtract per weight (the reference
+    recomputes ``(q - (z+1)) * s`` per element, matrix.cuh:95).
+
+    ``x_map`` (act-order models only) permutes the activation's feature axis
+    before the matmul; rows of the stored weight are already group-sequential.
+    """
+
+    qweight: jax.Array   # int32  [K, N_pad/8]  panel layout
+    scales: jax.Array    # f32    [K/gs, N_pad] (0 in padded columns)
+    zscale: jax.Array    # f32    [K/gs, N_pad]
+    x_map: Optional[jax.Array]  # int32 [K] or None
+
+    in_features: int = dataclasses.field(metadata=dict(static=True))
+    out_features: int = dataclasses.field(metadata=dict(static=True))
+    groupsize: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def act_order(self) -> bool:
+        return self.x_map is not None
+
+    @property
+    def padded_out_features(self) -> int:
+        return self.qweight.shape[1] * 8
+
+
+def load_quant_tensor(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    g_idx: Optional[np.ndarray] = None,
+    scale_dtype=np.float32,
+) -> QuantTensor:
+    """Build a :class:`QuantTensor` from GPTQ wire-format tensors.
+
+    Groupsize is inferred from the qweight/qzeros shapes like the reference
+    (model.py:165-169). An all-trivial g_idx (sequential groups) is treated
+    as absent (reference model.py:147-149).
+    """
+    k = qweight.shape[0] * 8
+    n = qweight.shape[1]
+    groups = qzeros.shape[0]
+    assert k % groups == 0, "qweight rows not divisible by zero-point groups"
+    groupsize = k // groups
+    assert scales.shape == (groups, n)
+
+    q = unpack_gptq_qweight(qweight)
+    x_map = None
+    if g_idx is not None:
+        g_idx = np.asarray(g_idx)
+        if not np.array_equal(g_idx, np.arange(k) // groupsize):
+            q, x_map = make_sequential(q, g_idx, groupsize)
+
+    z = unpack_gptq_qzeros(qzeros).astype(scale_dtype)
+    s = scales.astype(scale_dtype)
+    zscale = (z + 1.0) * s
+
+    n_pad = -(-n // PANEL) * PANEL
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        s = np.pad(s, pad)
+        zscale = np.pad(zscale, pad)
+
+    return QuantTensor(
+        qweight=repack_panels(q),
+        scales=s,
+        zscale=zscale,
+        x_map=x_map,
+        in_features=k,
+        out_features=n,
+        groupsize=groupsize,
+    )
+
+
+def dequantize(qt: QuantTensor) -> np.ndarray:
+    """Host-side full dequantization → f32 [K, N]. Test/validation oracle.
+
+    Note: rows are in *sequential* order; for act-order tensors the caller
+    must permute the activation by ``x_map`` (not the output of this).
+    """
+    q = unpack_panels(np.asarray(qt.qweight)).astype(np.float32)
+    gs = qt.groupsize
+    s = np.repeat(np.asarray(qt.scales, dtype=np.float32), gs, axis=0)
+    zs = np.repeat(np.asarray(qt.zscale, dtype=np.float32), gs, axis=0)
+    w = q * s - zs
+    return w[:, : qt.out_features]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic quantization (test fixtures / benchmarks; no reference analogue —
+# the reference consumes externally-quantized checkpoints only)
+# ---------------------------------------------------------------------------
+
+def quantize_matrix(
+    w: np.ndarray,
+    groupsize: int = 128,
+    act_order: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> dict[str, np.ndarray]:
+    """Asymmetric 4-bit min/max quantization of f32 [K, N] → GPTQ tensors.
+
+    Produces the wire format (qweight/qzeros/scales[/g_idx]) so tests and
+    benchmarks can fabricate realistic checkpoints. For act_order a random
+    row→group assignment is generated (each group exactly groupsize rows).
+    """
+    k, n = w.shape
+    assert k % groupsize == 0 and k % 8 == 0 and n % 8 == 0
+    groups = k // groupsize
+    rng = rng or np.random.default_rng(0)
+
+    if act_order:
+        perm = rng.permutation(k).astype(np.int64)
+        g_idx = np.empty(k, dtype=np.int32)
+        g_idx[perm] = (np.arange(k) // groupsize).astype(np.int32)
+    else:
+        g_idx = (np.arange(k) // groupsize).astype(np.int32)
+
+    # Quantize each row against its group's scale/zero. Group stats are
+    # computed over the rows assigned to that group.
+    order = np.argsort(g_idx, kind="stable")
+    wg = w[order].reshape(groups, groupsize, n)
+    wmin = wg.min(axis=1)
+    wmax = wg.max(axis=1)
+    scales = ((wmax - wmin) / 15.0).astype(np.float32)
+    scales = np.maximum(scales, 1e-8)
+    zero = np.clip(np.round(-wmin / scales), 1, 15).astype(np.uint8)  # true zero-point ≥1 so stored z-1 ≥0
+
+    qg = np.clip(
+        np.round(wg / scales[:, None, :]) + zero[:, None, :].astype(np.float32),
+        0,
+        15,
+    ).astype(np.uint8)
+    q = np.empty((k, n), dtype=np.uint8)
+    q[order] = qg.reshape(k, n)
+
+    out = {
+        "qweight": pack_gptq_qweight(q),
+        "qzeros": pack_gptq_qzeros(zero - 1),  # GPTQ stores zero-1
+        "scales": scales.astype(np.float16),
+    }
+    if act_order:
+        out["g_idx"] = g_idx
+    return out

@@ -1,0 +1,64 @@
+"""Rotary position embeddings.
+
+Table-lookup design following the reference (sin/cos precomputed once per
+model, reference model.py:862-877; applied in-place by cuda_func/rope.cu).
+On TPU the tables are ordinary arrays gathered by position inside jit, and
+the rotate-half application fuses into the surrounding ops.
+
+Supports the reference's two long-context mechanisms (model.py:86-87,126-127):
+linear position compression (``compress_pos_emb``) and NTK-alpha theta
+scaling (applied to ``base`` by the config before table construction).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_tables(
+    max_seq_len: int,
+    head_dim: int,
+    base: float = 10000.0,
+    compress_pos_emb: float = 1.0,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Precompute (sin, cos) tables of shape [max_seq_len, head_dim].
+
+    Matches reference model.py:862-877: inv_freq over even dims, positions
+    divided by compress_pos_emb (linear scaling), tables duplicated over the
+    two rotate-half halves.
+    """
+    inv_freq = 1.0 / (
+        base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    t = jnp.arange(max_seq_len, dtype=jnp.float32) / compress_pos_emb
+    freqs = jnp.outer(t, inv_freq)                      # [S, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)      # [S, D]
+    return jnp.sin(emb).astype(dtype), jnp.cos(emb).astype(dtype)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(
+    x: jax.Array,          # [B, T, H, D]
+    sin: jax.Array,        # [S_max, D]
+    cos: jax.Array,        # [S_max, D]
+    positions: jax.Array,  # [T] or [B, T] absolute positions
+) -> jax.Array:
+    """Rotate q or k by position. fp32 math, result in x.dtype."""
+    s = jnp.take(sin, positions, axis=0)  # [T, D] or [B, T, D]
+    c = jnp.take(cos, positions, axis=0)
+    if s.ndim == 2:  # [T, D] → broadcast over batch
+        s = s[None, :, None, :]
+        c = c[None, :, None, :]
+    else:            # [B, T, D]
+        s = s[:, :, None, :]
+        c = c[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    out = xf * c + _rotate_half(xf) * s
+    return out.astype(x.dtype)

@@ -1,0 +1,133 @@
+"""Golden-value tests for the GPTQ wire format and the TPU panel layout.
+
+Strategy mirrors the reference's dual-path cross-validation idea
+(test_benchmark_inference.py:239-246): every transform must round-trip, and
+dequantization must reproduce hand-packed matrices exactly.
+"""
+
+import numpy as np
+import pytest
+
+from exllama_tpu.formats import gptq
+
+
+def test_qweight_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 16, size=(64, 48), dtype=np.uint8)
+    packed = gptq.pack_gptq_qweight(q)
+    assert packed.shape == (8, 48) and packed.dtype == np.int32
+    assert np.array_equal(gptq.unpack_gptq_qweight(packed), q)
+
+
+def test_qzeros_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    z = rng.integers(0, 16, size=(4, 64), dtype=np.uint8)
+    packed = gptq.pack_gptq_qzeros(z)
+    assert packed.shape == (4, 8) and packed.dtype == np.int32
+    assert np.array_equal(gptq.unpack_gptq_qzeros(packed), z)
+
+
+def test_qweight_packing_golden():
+    # Hand-built: rows 0..7 of column 0 are 1..8; one int32 word packs them
+    # little-nibble-first (bits 4*i hold row r*8+i), matching GPTQ.
+    q = np.zeros((8, 8), dtype=np.uint8)
+    q[:, 0] = np.arange(1, 9)
+    packed = gptq.pack_gptq_qweight(q)
+    expect = 0
+    for i in range(8):
+        expect |= (i + 1) << (4 * i)
+    assert packed[0, 0] == np.int32(np.uint32(expect))
+
+
+def test_panel_roundtrip_and_padding():
+    rng = np.random.default_rng(2)
+    for n in (256, 1024, 1024 + 512, 3 * 1024):
+        q = rng.integers(0, 16, size=(32, n), dtype=np.uint8)
+        words = gptq.repack_panels(q)
+        n_pad = -(-n // gptq.PANEL) * gptq.PANEL
+        assert words.shape == (32, n_pad // 8)
+        back = gptq.unpack_panels(words, n)
+        assert np.array_equal(back, q)
+        # padded columns are zero
+        full = gptq.unpack_panels(words)
+        assert np.all(full[:, n:] == 0)
+
+
+def test_panel_layout_golden():
+    # True column c = p*PANEL + i*LANE + j must land in word column
+    # p*LANE + j, nibble i.
+    k, n = 8, 2 * gptq.PANEL
+    q = np.zeros((k, n), dtype=np.uint8)
+    c = 1 * gptq.PANEL + 3 * gptq.LANE + 17  # panel 1, nibble 3, lane 17
+    q[0, c] = 0xA
+    words = gptq.repack_panels(q)
+    word = np.uint32(words[0, 1 * gptq.LANE + 17])
+    assert (word >> (4 * 3)) & 0xF == 0xA
+    assert word & ~np.uint32(0xF << 12) == 0
+
+
+def test_make_sequential_preserves_dot_product():
+    rng = np.random.default_rng(3)
+    k, n, gs = 256, 16, 32
+    q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+    perm = rng.permutation(k)
+    g_idx = np.empty(k, dtype=np.int32)
+    g_idx[perm] = np.arange(k) // gs
+    q_seq, x_map = gptq.make_sequential(q, g_idx, gs)
+    # rows now group-sequential
+    assert np.array_equal(g_idx[x_map], np.arange(k) // gs)
+    x = rng.normal(size=(k,)).astype(np.float32)
+    # dot with per-row scale by original group
+    s = rng.normal(size=(k // gs, n)).astype(np.float32)
+    w_orig = q.astype(np.float32) * s[g_idx]
+    w_seq = q_seq.astype(np.float32) * np.repeat(s, gs, axis=0)
+    np.testing.assert_allclose(x @ w_orig, x[x_map] @ w_seq, rtol=1e-5)
+
+
+@pytest.mark.parametrize("act_order", [False, True])
+@pytest.mark.parametrize("groupsize", [32, 128])
+def test_quantize_load_dequantize_roundtrip(act_order, groupsize):
+    """quantize_matrix → load_quant_tensor → dequantize reproduces the
+    quantized weight exactly (quantization error only, no format error)."""
+    rng = np.random.default_rng(4)
+    k, n = 256, 512
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    tensors = gptq.quantize_matrix(w, groupsize, act_order, rng)
+    qt = gptq.load_quant_tensor(
+        tensors["qweight"],
+        tensors["qzeros"],
+        tensors["scales"],
+        tensors.get("g_idx"),
+    )
+    assert qt.in_features == k and qt.out_features == n
+    assert qt.groupsize == groupsize
+    assert qt.act_order == act_order
+
+    w_hat = gptq.dequantize(qt)
+    # Manually dequantize the wire format as the oracle:
+    q = gptq.unpack_gptq_qweight(tensors["qweight"]).astype(np.float32)
+    z = gptq.unpack_gptq_qzeros(tensors["qzeros"]).astype(np.float32)
+    s = tensors["scales"].astype(np.float32)
+    g_idx = tensors.get("g_idx")
+    if g_idx is None:
+        g_idx = np.arange(k) // groupsize
+    w_wire = (q - (z[g_idx] + 1.0)) * s[g_idx]
+
+    if act_order:
+        x_map = np.asarray(qt.x_map)
+        w_wire = w_wire[x_map]
+    np.testing.assert_allclose(w_hat, w_wire, atol=1e-5)
+
+    # and the dequantized weight approximates the original
+    err = np.abs(w_hat if not act_order else w_hat[np.argsort(x_map)] - w)
+    # scale ~ (max-min)/15 ~ 6 sigma/15 -> max err ~ scale/2 ~ 0.2
+    assert np.median(np.abs(gptq.dequantize(qt))) > 0  # sanity
+
+    x = rng.normal(size=(4, k)).astype(np.float32)
+    xs = x[:, np.asarray(qt.x_map)] if act_order else x
+    ref = x @ w
+    got = xs @ w_hat
+    # quantization noise bound: 4-bit min/max on gaussian weights gives
+    # ~13% rms weight error; the matvec should stay in that regime.
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.2, rel

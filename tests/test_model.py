@@ -1,0 +1,141 @@
+"""End-to-end model forward tests on a tiny synthetic Llama.
+
+Validates: prefill/decode equivalence (prefill N tokens then decode must
+match one full forward — the KV cache invariant), chunked prefill equality,
+GQA, batched left-pad masking (reference's batch sanity test,
+test_benchmark_inference.py:258-312), act-order and g32 paths.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exllama_tpu.cache import ExLlamaCache
+from exllama_tpu.config import ExLlamaConfig
+from exllama_tpu.formats.loader import make_synthetic_params
+from exllama_tpu.models.llama import ExLlama
+
+
+def tiny_config(**kw):
+    c = ExLlamaConfig()
+    c.hidden_size = 256
+    c.intermediate_size = 512
+    c.num_attention_heads = 4
+    c.num_key_value_heads = kw.pop("kv_heads", 4)
+    c.head_dim = 64
+    c.num_hidden_layers = 2
+    c.vocab_size = 128
+    c.max_seq_len = 64
+    c.max_input_len = kw.pop("max_input_len", 64)
+    c.max_attention_size = kw.pop("max_attention_size", 64 * 64)
+    c.tuning.matmul_impl = "xla"
+    c.tuning.attn_len_bucket = kw.pop("attn_len_bucket", 16)
+    for k, v in kw.items():
+        setattr(c, k, v)
+    return c
+
+
+def make_model(cfg=None, groupsize=128, act_order=False, seed=0):
+    cfg = cfg or tiny_config()
+    params = make_synthetic_params(cfg, groupsize, act_order, seed)
+    return ExLlama(cfg, params=params)
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2])
+def test_full_forward_runs(kv_heads):
+    model = make_model(tiny_config(kv_heads=kv_heads))
+    cache = ExLlamaCache(model)
+    ids = np.arange(10, dtype=np.int32)[None, :] % 128
+    logits = model.forward(ids, cache, last_id_only=False)
+    assert logits.shape == (1, 10, 128)
+    assert cache.current_seq_len == 10
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_prefill_then_decode_matches_full_forward():
+    model = make_model()
+    ids = (np.arange(12, dtype=np.int32)[None, :] * 7 + 3) % 128
+
+    cache_a = ExLlamaCache(model)
+    full = np.asarray(model.forward(ids, cache_a, last_id_only=False))
+
+    cache_b = ExLlamaCache(model)
+    model.forward(ids[:, :-1], cache_b, preprocess_only=True)
+    assert cache_b.current_seq_len == 11
+    last = np.asarray(model.forward(ids[:, -1:], cache_b))
+    np.testing.assert_allclose(last[:, 0], full[:, -1], rtol=3e-2, atol=3e-2)
+
+
+def test_chunked_prefill_matches_unchunked():
+    cfg = tiny_config(max_input_len=5, max_attention_size=8 * 8)
+    model_chunked = make_model(cfg)
+    cache_a = ExLlamaCache(model_chunked)
+    ids = (np.arange(20, dtype=np.int32)[None, :] * 13 + 1) % 128
+    out_a = np.asarray(model_chunked.forward(ids, cache_a, last_id_only=True))
+
+    cfg2 = tiny_config()
+    model_full = ExLlama(cfg2, params=model_chunked.params)
+    cache_b = ExLlamaCache(model_full)
+    out_b = np.asarray(model_full.forward(ids, cache_b, last_id_only=True))
+    np.testing.assert_allclose(out_a, out_b, rtol=3e-2, atol=3e-2)
+    assert cache_a.current_seq_len == cache_b.current_seq_len == 20
+
+
+@pytest.mark.parametrize("groupsize,act_order", [(32, False), (128, True)])
+def test_quant_variants(groupsize, act_order):
+    model = make_model(groupsize=groupsize, act_order=act_order)
+    cache = ExLlamaCache(model)
+    ids = np.arange(8, dtype=np.int32)[None, :]
+    logits = model.forward(ids, cache)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_batched_left_padding_consistency():
+    """Rows with identical content but different left-padding must produce
+    the same logits (reference -v -v check, test_benchmark_inference.py:258-312)."""
+    model = make_model()
+    cfg = model.config
+    prompt = ((np.arange(6) * 11 + 2) % 128).astype(np.int32)
+
+    # Single-row run of the longer prompt = the oracle.
+    longer = ((np.arange(9) * 5 + 7) % 128).astype(np.int32)
+    cache_1 = ExLlamaCache(model)
+    ref = np.asarray(model.forward(longer[None, :], cache_1))
+
+    # Mixed batch: row 0 = short prompt left-padded by 3 (masked out), rows
+    # 1 & 2 = identical copies of the longer prompt, unpadded. The padded
+    # row must not perturb the others, and identical rows must be identical
+    # (reference -v -v, test_benchmark_inference.py:258-312).
+    pad = 3
+    b_ids = np.zeros((3, 9), dtype=np.int32)
+    b_ids[0, pad:] = prompt
+    b_ids[1, :] = longer
+    b_ids[2, :] = longer
+    mask = np.zeros((3, cfg.max_seq_len), dtype=bool)
+    mask[0, pad:9] = True
+    mask[1, :9] = True
+    mask[2, :9] = True
+
+    cache_2 = ExLlamaCache(model, batch_size=3)
+    out = np.asarray(
+        model.forward(b_ids, cache_2, input_mask=jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(out[1], out[2], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out[1], ref[0], rtol=3e-2, atol=3e-2)
+    assert np.all(np.isfinite(out[0]))
+
+
+def test_pallas_interpret_model_matches_xla():
+    cfg = tiny_config()
+    cfg.tuning.matmul_impl = "xla"
+    model = make_model(cfg)
+    ids = np.arange(8, dtype=np.int32)[None, :]
+    cache = ExLlamaCache(model)
+    ref = np.asarray(model.forward(ids, cache))
+
+    cfg2 = tiny_config()
+    cfg2.tuning.matmul_impl = "pallas_interpret"
+    model2 = ExLlama(cfg2, params=model.params)
+    cache2 = ExLlamaCache(model2)
+    got = np.asarray(model2.forward(ids, cache2))
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)

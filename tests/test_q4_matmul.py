@@ -1,0 +1,81 @@
+"""Cross-validation of the fused Pallas q4 matmul against the XLA oracle and
+against exact host-side dequantization — the dual-path validation strategy
+from the reference (test_benchmark_inference.py:239-246), promoted into unit
+tests.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exllama_tpu.formats import gptq
+from exllama_tpu.ops.quant import dequantize_xla, q4_matmul
+
+
+def make_qt(k, n, gs, act_order, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.1
+    t = gptq.quantize_matrix(w, gs, act_order, rng)
+    qt = gptq.load_quant_tensor(
+        t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
+    )
+    return qt, rng
+
+
+@pytest.mark.parametrize("gs", [32, 128])
+def test_dequantize_xla_matches_host(gs):
+    qt, _ = make_qt(256, 512, gs, act_order=False)
+    w_host = gptq.dequantize(qt)                       # f32 oracle
+    w_dev = np.asarray(dequantize_xla(qt, jnp.float32))
+    np.testing.assert_allclose(w_dev[:, :512], w_host, atol=1e-5)
+
+
+@pytest.mark.parametrize("act_order", [False, True])
+@pytest.mark.parametrize("gs", [32, 128])
+@pytest.mark.parametrize("m", [1, 7, 33])
+def test_xla_matmul_matches_host(m, gs, act_order):
+    k, n = 256, 512
+    qt, rng = make_qt(k, n, gs, act_order)
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    got = np.asarray(q4_matmul(jnp.asarray(x), qt, impl="xla"))
+    w = gptq.dequantize(qt)
+    xs = x[:, np.asarray(qt.x_map)] if act_order else x
+    ref = xs @ w
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("act_order", [False, True])
+@pytest.mark.parametrize("gs", [32, 128])
+@pytest.mark.parametrize("m", [1, 8, 100])
+def test_pallas_matches_xla(m, gs, act_order):
+    """The fused kernel (interpret mode on CPU) must agree with the XLA path
+    to numerical tolerance of the bf16 weight cast."""
+    k, n = 512, 1024 + 512  # exercises N padding (1536 → 2048)
+    qt, rng = make_qt(k, n, gs, act_order, seed=7)
+    x = (rng.normal(size=(m, k)) * 0.5).astype(np.float32)
+    xj = jnp.asarray(x)
+    ref = np.asarray(q4_matmul(xj, qt, impl="xla"))
+    got = np.asarray(q4_matmul(xj, qt, impl="pallas_interpret"))
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_batch_shape():
+    qt, rng = make_qt(256, 1024, 128, False)
+    x = jnp.asarray(rng.normal(size=(2, 3, 256)).astype(np.float32))
+    out = q4_matmul(x, qt, impl="pallas_interpret")
+    assert out.shape == (2, 3, 1024)
+    ref = q4_matmul(x, qt, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_lora_fused():
+    k, n, r = 256, 1024, 8
+    qt, rng = make_qt(k, n, 128, False)
+    x = jnp.asarray(rng.normal(size=(4, k)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(k, r)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(r, n)).astype(np.float32) * 0.05)
+    base = q4_matmul(x, qt, impl="xla")
+    got = q4_matmul(x, qt, impl="xla", lora=(a, b))
+    ref = np.asarray(base) + np.asarray(x) @ np.asarray(a) @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-2, atol=2e-2)
