@@ -1,0 +1,118 @@
+"""Benchmark harness: Llama-7B-shaped 4-bit decode + prefill on one chip.
+
+Mirrors the reference's perf methodology (test_benchmark_inference.py -p:
+prompt pass over the context, then timed 128-token decode; README.md:154-156
+metric definitions). The checkpoint is synthetic (quantize_matrix of random
+weights — identical compute/memory profile to a real GPTQ checkpoint).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: 140 tok/s = reference RTX-4090 "worst" decode at 7B g128
+(BASELINE.md), the north-star per-chip number.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def build_model(layers=32):
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.models.llama import ExLlama
+
+    cfg = ExLlamaConfig()  # defaults are exactly Llama-7B
+    cfg.num_hidden_layers = layers
+    cfg.max_seq_len = 2048
+    cfg.max_input_len = 2048
+    cfg.max_attention_size = 2048 ** 2
+    params = make_synthetic_params(cfg, groupsize=128, act_order=False, seed=0)
+    return ExLlama(cfg, params=params)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.models.llama import forward_chunk
+
+    backend = jax.default_backend()
+    layers = 32 if backend == "tpu" else 2
+    model = build_model(layers)
+    cfg = model.config
+    cache = ExLlamaCache(model)
+
+    rng = np.random.default_rng(0)
+    prompt_len, decode_len = 1920, 128
+    ids = rng.integers(0, cfg.vocab_size, size=(1, prompt_len)).astype(np.int32)
+
+    # ---- prompt pass (prefill), 1 warmup + 2 timed (reference does 2)
+    def prefill():
+        cache.current_seq_len = 0
+        t0 = time.perf_counter()
+        model.forward(ids, cache, preprocess_only=True)
+        jax.block_until_ready(cache.state.k)
+        return time.perf_counter() - t0
+
+    prefill()  # compile
+    prompt_ts = prompt_len / min(prefill(), prefill())
+
+    # ---- decode: 128 tokens greedily, chained on device (one jit) to
+    # exclude host dispatch; this measures the "worst" position (full ctx)
+    step = functools.partial(
+        forward_chunk,
+        attend_len=cfg.max_seq_len,
+        last_token_only=True,
+        preprocess_only=False,
+        heads=cfg.num_attention_heads,
+        kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        eps=cfg.rms_norm_eps,
+        matmul_impl=model._matmul_impl(),
+    )
+
+    @jax.jit
+    def decode_n(params, kv, tok, past_len):
+        def body(i, carry):
+            kv, tok, pos = carry
+            logits, kv = step(params, kv, tok, pos, None, None)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1)[:, None].astype(
+                jnp.int32
+            )
+            return kv, tok, pos + 1
+        kv, tok, pos = jax.lax.fori_loop(
+            0, decode_len, body, (kv, tok, past_len)
+        )
+        return kv, tok
+
+    tok0 = jnp.asarray([[1]], jnp.int32)
+    past = jnp.int32(cache.current_seq_len)
+    kv, tok = decode_n(model.params, cache.state, tok0, past)  # compile+run
+    jax.block_until_ready(tok)
+
+    # timed runs (reset cache cursor; KV contents don't affect timing)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kv, tok = decode_n(model.params, kv, tok0, past)
+        jax.block_until_ready(tok)
+        times.append(time.perf_counter() - t0)
+    decode_ts = decode_len / min(times)
+
+    vs = decode_ts / 140.0
+    print(json.dumps({
+        "metric": "decode_tok_s_llama7b_q4_worst_ctx2048",
+        "value": round(decode_ts, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 3),
+        "prompt_tok_s": round(prompt_ts, 1),
+        "backend": backend,
+        "layers": layers,
+        "note": "synthetic 7B g128; baseline 140 tok/s = reference 4090 worst-decode (BASELINE.md)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

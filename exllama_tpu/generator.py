@@ -1,0 +1,340 @@
+"""Stateful generator: sampling loop, cache management, constrained decoding.
+
+Re-design of the reference's ``ExLlamaGenerator`` (generator.py). Host-side
+state management (sequence bookkeeping, prefix reuse, rewind/prune) mirrors
+the reference exactly; the compute differs TPU-style:
+
+  * sampling runs on device inside jit (ops/sampling.py) — the reference
+    round-trips fp32 logits to a CPU extension per token
+    (generator.py:333-339);
+  * the token history for repetition penalty lives in a fixed-size device
+    buffer [B, max_seq_len] updated functionally, so the per-token sampling
+    step compiles once regardless of sequence length;
+  * randomness is an explicit jax PRNG key (seedable, reproducible).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exllama_tpu.ops.sampling import SamplerSettings, apply_rep_penalty, sample
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sustain", "decay", "top_k_static")
+)
+def _sample_step(
+    logits,          # [B, 1, V] f32 (model output)
+    seq_buf,         # [B, S_max] int32 device token history
+    seq_len,         # scalar int32
+    key,
+    temperature,
+    top_k,
+    top_p,
+    min_p,
+    typical,
+    penalty_max,
+    bos_token_id,
+    logit_bias,      # [V] f32 additive (constraints / disallow), or zeros
+    *,
+    sustain: int,
+    decay: int,
+    top_k_static: int = -1,  # unused; kept for future specialization
+):
+    lg = logits[:, -1, :].astype(jnp.float32)
+    lg = apply_rep_penalty(lg, seq_buf, seq_len, penalty_max, sustain, decay)
+    # ban BOS like the reference (generator.py:352)
+    lg = lg.at[:, bos_token_id].add(-10000.0)
+    lg = lg + logit_bias[None, :]
+
+    b, v = lg.shape
+    keys = jax.random.split(key, b)
+    from exllama_tpu.ops.sampling import _sample_row
+
+    tokens, probs = jax.vmap(
+        lambda row, k: _sample_row(
+            row, k, temperature, top_k, top_p, min_p, typical
+        )
+    )(lg, keys)
+    seq_buf = jax.lax.dynamic_update_slice(
+        seq_buf, tokens[:, None], (jnp.int32(0), seq_len)
+    )
+    return tokens, probs, seq_buf
+
+
+class ExLlamaGenerator:
+    """API mirror of the reference generator (generator.py:7-715)."""
+
+    Settings = SamplerSettings
+
+    def __init__(self, model, tokenizer, cache, seed: int = 0):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.cache = cache
+        self.lora = None
+        self.disallowed_tokens: Optional[list[int]] = None
+        self.key = jax.random.PRNGKey(seed)
+        self.in_beam_search = False
+        self.beams = None
+        self.reset()
+
+    def reset(self):
+        self.cache.current_seq_len = 0
+        self.sequence: Optional[np.ndarray] = None          # [B, cur]
+        self.sequence_actual: Optional[np.ndarray] = None
+        self.settings = SamplerSettings()
+        self._seq_buf = jnp.zeros(
+            (self.cache.batch_size, self.cache.max_seq_len), jnp.int32
+        )
+        self._mask = None
+
+    # ------------------------------------------------------------------ rng
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------- cache plumbing
+
+    def _sync_seq_buf(self):
+        """Rewrite the device history buffer from the host sequence."""
+        buf = np.zeros(
+            (self.cache.batch_size, self.cache.max_seq_len), np.int32
+        )
+        if self.sequence is not None and self.sequence.shape[1] > 0:
+            n = min(self.sequence.shape[1], self.cache.max_seq_len)
+            buf[:, :n] = self.sequence[:, :n]
+        self._seq_buf = jnp.asarray(buf)
+
+    def gen_begin(self, in_tokens, mask=None):
+        """Reset and prefill all but the last token (generator.py:177-186)."""
+        self.end_beam_search()
+        in_tokens = np.asarray(in_tokens, dtype=np.int32)
+        self.sequence = in_tokens.copy()
+        self.sequence_actual = in_tokens.copy()
+        self.cache.current_seq_len = 0
+        self._mask = None if mask is None else jnp.asarray(mask)
+        self._sync_seq_buf()
+        if in_tokens.shape[1] > 1:
+            self.model.forward(
+                in_tokens[:, :-1],
+                self.cache,
+                preprocess_only=True,
+                lora=self.lora,
+                input_mask=self._mask,
+            )
+
+    def gen_begin_empty(self):
+        self.end_beam_search()
+        self.sequence = None
+        self.sequence_actual = None
+        self.cache.current_seq_len = 0
+
+    def gen_begin_reuse(self, in_tokens, mask=None) -> int:
+        """Longest-common-prefix KV reuse (generator.py:197-222)."""
+        self.end_beam_search()
+        in_tokens = np.asarray(in_tokens, dtype=np.int32)
+        if self.sequence is None or self.cache.current_seq_len == 0:
+            self.gen_begin(in_tokens, mask=mask)
+            return 0
+
+        reuse = 0
+        limit = min(self.sequence.shape[1], in_tokens.shape[1])
+        while reuse < limit and self.sequence[0, reuse] == in_tokens[0, reuse]:
+            reuse += 1
+        if reuse < 2:
+            self.gen_begin(in_tokens, mask=mask)
+            return 0
+
+        self.cache.current_seq_len = reuse - 1
+        self.sequence = self.sequence[:, :reuse]
+        self.sequence_actual = self.sequence.copy()
+        self._mask = None if mask is None else jnp.asarray(mask)
+        self._sync_seq_buf()
+        if reuse < in_tokens.shape[1]:
+            self.gen_feed_tokens(in_tokens[:, reuse:], mask=mask)
+        return reuse
+
+    def gen_feed_tokens(self, in_tokens, mask=None):
+        """Append + prefill, leaving the final token unforwarded
+        (generator.py:225-243)."""
+        if self.sequence is None:
+            self.gen_begin(in_tokens, mask=mask)
+            return
+        self.end_beam_search()
+        in_tokens = np.asarray(in_tokens, dtype=np.int32)
+        start = self.sequence.shape[1] - 1
+        self.sequence = np.concatenate([self.sequence, in_tokens], axis=1)
+        if mask is not None:
+            self._mask = jnp.asarray(mask)
+        if start < self.sequence.shape[1] - 1:
+            self.model.forward(
+                self.sequence[:, start:-1],
+                self.cache,
+                preprocess_only=True,
+                lora=self.lora,
+                input_mask=self._mask,
+            )
+        self.sequence_actual = self.sequence
+        self._sync_seq_buf()
+
+    def gen_accept_token(self, token: np.ndarray):
+        self.end_beam_search()
+        token = np.asarray(token, dtype=np.int32).reshape(
+            -1, 1
+        )
+        if self.sequence is None:
+            self.sequence = token.copy()
+        else:
+            self.sequence = np.concatenate([self.sequence, token], axis=1)
+        self.sequence_actual = self.sequence
+
+    def gen_rewind(self, num_tokens: int):
+        if num_tokens == 0:
+            return
+        self.end_beam_search()
+        self.sequence = self.sequence[:, :-num_tokens]
+        self.cache.current_seq_len -= num_tokens
+        self.sequence_actual = self.sequence
+        self._sync_seq_buf()
+
+    def gen_prune_right(self, tokens: int, mask=None):
+        self.end_beam_search()
+        if tokens > self.sequence.shape[1] - 1:
+            return
+        self.gen_begin(self.sequence[:, tokens:], mask=mask)
+        self.sequence_actual = self.sequence
+
+    def gen_prune_left(self, num_tokens: int, mask=None):
+        num_tokens = min(num_tokens, self.sequence_actual.shape[1] - 1)
+        self.end_beam_search()
+        self.sequence = self.sequence[:, num_tokens:]
+        self.gen_begin(self.sequence, mask=mask)
+
+    def gen_prune_to(self, min_tokens_to_keep: int, token_id: int, mask=None):
+        """Drop leading history up to occurrences of ``token_id`` until under
+        budget (generator.py:271-287)."""
+        self.end_beam_search()
+        if self.gen_num_tokens() <= min_tokens_to_keep:
+            return
+        while self.gen_num_tokens() > min_tokens_to_keep:
+            pruned = False
+            for i in range(self.sequence.shape[1] - 1):
+                if self.sequence[0, i] == token_id:
+                    self.sequence = self.sequence[:, i + 1 :]
+                    pruned = True
+                    break
+            if not pruned:
+                break
+        self.gen_begin(self.sequence, mask=mask)
+
+    def gen_num_tokens(self) -> int:
+        return self.sequence_actual.shape[1]
+
+    def disallow_tokens(self, tokens):
+        self.disallowed_tokens = tokens
+
+    # ------------------------------------------------------------- sampling
+
+    def _logit_bias(self, constraints=None) -> jnp.ndarray:
+        v = self.model.config.vocab_size
+        bias = np.zeros((v,), np.float32)
+        if self.disallowed_tokens:
+            bias[np.asarray(self.disallowed_tokens)] = -np.inf
+        if constraints is not None:
+            # reference: +10000 on allowed, -10000 on all (generator.py:357-366)
+            bias -= 10000.0
+            bias[np.asarray(constraints)] += 10000.0
+        return jnp.asarray(bias)
+
+    def gen_single_token(self, constraints=None, mask=None):
+        """Forward last token → rep penalty → sample → accept
+        (generator.py:344-382). Returns np [B, 1] tokens."""
+        self.end_beam_search()
+        if self.sequence is None:
+            if constraints is not None:
+                token = np.array([[int(constraints[0])]], np.int32)
+            else:
+                token = np.array(
+                    [[self.tokenizer.bos_token_id]], np.int32
+                )
+            self.gen_accept_token(token)
+            return token
+
+        logits = self.model.forward(
+            self.sequence[:, -1:],
+            self.cache,
+            lora=self.lora,
+            input_mask=self._mask if mask is None else jnp.asarray(mask),
+        )
+        s = self.settings
+        min_p = s.min_p + 0.01 if constraints is not None else s.min_p
+        tokens, _, self._seq_buf = _sample_step(
+            logits,
+            self._seq_buf,
+            jnp.int32(self.sequence.shape[1]),
+            self._next_key(),
+            jnp.float32(s.temperature),
+            jnp.int32(s.top_k),
+            jnp.float32(s.top_p),
+            jnp.float32(min_p),
+            jnp.float32(s.typical),
+            jnp.float32(s.token_repetition_penalty_max),
+            jnp.int32(self.tokenizer.bos_token_id),
+            self._logit_bias(constraints),
+            sustain=s.token_repetition_penalty_sustain,
+            decay=s.token_repetition_penalty_decay,
+        )
+        token = np.asarray(tokens).reshape(-1, 1)
+        self.gen_accept_token(token)
+        return token
+
+    # ---------------------------------------------------------- simple loop
+
+    def generate_simple(self, prompt, max_new_tokens: int = 128):
+        """Encode → prefill → sample loop with per-row EOS tracking →
+        decode (generator.py:311-328)."""
+        self.end_beam_search()
+        ids, mask = self.tokenizer.encode(
+            prompt,
+            return_mask=True,
+            max_seq_len=self.model.config.max_seq_len,
+        )
+        # pad mask out to max_seq_len for the attention input_mask
+        full_mask = np.zeros(
+            (ids.shape[0], self.model.config.max_seq_len), bool
+        )
+        full_mask[:, : ids.shape[1]] = mask
+        self.gen_begin(ids, mask=full_mask if not mask.all() else None)
+
+        max_new_tokens = min(
+            max_new_tokens, self.model.config.max_seq_len - ids.shape[1]
+        )
+        eos = np.zeros((ids.shape[0],), bool)
+        for _ in range(max_new_tokens):
+            token = self.gen_single_token()
+            eos |= token[:, 0] == self.tokenizer.eos_token_id
+            if eos.all():
+                break
+        text = self.tokenizer.decode(
+            self.sequence[0] if self.sequence.shape[0] == 1 else self.sequence
+        )
+        return text
+
+    # ------------------------------------------------- beam search (stubs)
+
+    def begin_beam_search(self):
+        self.in_beam_search = True
+
+    def end_beam_search(self):
+        if not self.in_beam_search:
+            return
+        self.in_beam_search = False
+
+    def replace_last_token(self, token):
+        self.sequence_actual[:, -1] = int(np.asarray(token).reshape(-1)[0])

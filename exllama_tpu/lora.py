@@ -1,0 +1,136 @@
+"""LoRA adapters on quantized base weights.
+
+Re-design of the reference's ``ExLlamaLora`` (lora.py): loads a PEFT adapter
+(safetensors or torch .bin), parses
+``model.layers.N.{self_attn,mlp}.{q,k,v,o,gate,up,down}_proj.lora_{A,B}``
+keys, validates shapes against the target quantized matrices, transposes to
+(in, out) orientation and pre-scales B by alpha/r (lora.py:99-103) so the
+runtime is a plain unmerged low-rank add fused into the q4 matmul
+(ops/quant.py q4_matmul(lora=...), mirroring exllama_ext.cpp:245-324).
+
+TPU difference: adapters are stacked per layer into a pytree that threads
+through the model's lax.scan — layers or projections without an adapter get
+zero-filled A/B of the same rank so the scan stays homogeneous (a zero
+low-rank add is exact and XLA-cheap at small r).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PROJ_NAMES = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerLora:
+    """Per-layer adapter pairs; in stacked form each leaf is [L, in, r] /
+    [L, r, out]. ``None`` = projection not adapted anywhere in the model."""
+
+    q: Optional[tuple[jax.Array, jax.Array]]
+    k: Optional[tuple[jax.Array, jax.Array]]
+    v: Optional[tuple[jax.Array, jax.Array]]
+    o: Optional[tuple[jax.Array, jax.Array]]
+    gate: Optional[tuple[jax.Array, jax.Array]]
+    up: Optional[tuple[jax.Array, jax.Array]]
+    down: Optional[tuple[jax.Array, jax.Array]]
+
+
+class ExLlamaLora:
+    """Host-side adapter object; pass to generators via ``generator.lora``."""
+
+    def __init__(self, model, lora_config_path: str, lora_path: str):
+        self.lora_config_path = lora_config_path
+        self.lora_path = lora_path
+        self.model = model
+        self.bias_ignored = False
+
+        with open(lora_config_path) as f:
+            read_config = json.load(f)
+        self.lora_r = read_config["r"]
+        self.lora_alpha = float(read_config["lora_alpha"])
+        self.lora_scaling = self.lora_alpha / self.lora_r
+        if read_config.get("fan_in_fan_out"):
+            raise ValueError("fan_in_fan_out mode not supported")
+
+        if lora_path.endswith(".safetensors"):
+            import safetensors
+
+            with safetensors.safe_open(lora_path, framework="np") as f:
+                raw = {k: f.get_tensor(k) for k in f.keys()}
+        else:
+            import torch
+
+            raw = {
+                k: v.to(torch.float32).numpy()
+                for k, v in torch.load(
+                    lora_path, map_location="cpu", weights_only=True
+                ).items()
+            }
+
+        cfg = model.config
+        n_layers = cfg.num_hidden_layers
+        # per-projection dict: name -> {layer_idx: {"A": ..., "B": ...}}
+        found: dict[str, dict[int, dict[str, np.ndarray]]] = {
+            p: {} for p in _PROJ_NAMES
+        }
+
+        for key, tensor in raw.items():
+            i = key.find("model.layers.")
+            if i == -1:
+                raise ValueError(f"unsupported key in {lora_path}: {key}")
+            ks = key[i:].split(".")
+            layer_idx = int(ks[2])
+            proj = ks[4].replace("_proj", "")
+            half = ks[5]
+            if half == "bias":
+                if np.max(np.abs(tensor)) > 1e-6:
+                    raise ValueError(f"unsupported nonzero bias: {key}")
+                self.bias_ignored = True
+                continue
+            if proj not in _PROJ_NAMES or half not in ("lora_A", "lora_B"):
+                raise ValueError(f"unsupported key in {lora_path}: {key}")
+
+            target = getattr(model.params.layers, proj)
+            tensor = np.asarray(tensor, dtype=np.float32)
+            if half == "lora_A":
+                # PEFT stores A as [r, in]; validate in_features
+                if tensor.shape[1] != target.in_features:
+                    raise ValueError(f"incompatible shape: {key}")
+            else:
+                # B as [out, r]; validate out_features
+                if tensor.shape[0] != target.out_features:
+                    raise ValueError(f"incompatible shape: {key}")
+            t = tensor.T.copy()  # → (in, r) / (r, out), reference lora.py:99
+            if half == "lora_B" and self.lora_scaling != 1.0:
+                t *= self.lora_scaling
+            found[proj].setdefault(layer_idx, {})[half[-1]] = t
+
+        # Build stacked pytree
+        def stack_proj(proj: str):
+            entries = found[proj]
+            if not entries:
+                return None
+            target = getattr(model.params.layers, proj)
+            k_in, n_out, r = target.in_features, target.out_features, self.lora_r
+            a = np.zeros((n_layers, k_in, r), np.float32)
+            b = np.zeros((n_layers, r, n_out), np.float32)
+            for li, halves in entries.items():
+                if "A" not in halves or "B" not in halves:
+                    raise ValueError(f"incomplete A/B pair: layer {li} {proj}")
+                a[li] = halves["A"]
+                b[li] = halves["B"]
+            return (
+                jnp.asarray(a, jnp.bfloat16),
+                jnp.asarray(b, jnp.bfloat16),
+            )
+
+        self.stacked = LayerLora(
+            **{p: stack_proj(p) for p in _PROJ_NAMES}
+        )

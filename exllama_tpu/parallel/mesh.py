@@ -1,0 +1,151 @@
+"""Device mesh + declarative sharding of quantized params and KV cache.
+
+This layer has NO reference counterpart: ExLlama's only multi-device story
+is per-layer placement with host-mediated copies (reference
+model.py:636-668, 702-708, 1053-1058). The TPU-native design shards tensors
+over a 2-axis mesh and lets GSPMD insert the collectives:
+
+  * ``tp`` (tensor parallel, rides ICI): q/k/v/gate/up shard their *output*
+    columns; o/down shard their *input* rows (Megatron-style pairing, so the
+    only collective per block is one psum/reduce-scatter after o and after
+    down). The GPTQ panel layout shards cleanly along columns: panels are
+    1024 true columns, so any tp that divides N_pad/1024 keeps whole panels
+    per shard with their scales/zscale columns alongside.
+  * ``dp`` (data/batch parallel, can span DCN): batch dimension of
+    activations and KV cache.
+  * KV cache shards over kv-heads on ``tp`` and batch on ``dp``.
+
+Weight-stationary: after load + device_put with these shardings, weights
+never move; activations flow through psum boundaries XLA places.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from exllama_tpu.formats.gptq import PANEL, QuantTensor
+
+
+def make_mesh(
+    tp: int = 1,
+    dp: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= tp * dp, (
+        f"need {tp * dp} devices, have {len(devices)}"
+    )
+    arr = np.asarray(devices[: tp * dp]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _quant_specs(qt: QuantTensor, shard: str, stacked: bool) -> QuantTensor:
+    """PartitionSpecs for one QuantTensor. ``shard`` ∈ {'out', 'in', 'none'}.
+
+    'out' shards output columns: qweight's word axis and scales' column axis.
+    'in' shards input rows: qweight's K axis and scales' group axis (rows of
+    a group stay together because K-shards must be multiples of groupsize —
+    callers validate via validate_tp()).
+    """
+    lead = (None,) if stacked else ()
+    if shard == "out":
+        qw = P(*lead, None, "tp")
+        sc = P(*lead, None, "tp")
+        xm = P(*lead, None)
+    elif shard == "in":
+        qw = P(*lead, "tp", None)
+        sc = P(*lead, "tp", None)
+        xm = P(*lead, None)  # x_map values are global K indices; replicate
+    else:
+        qw = P(*lead, None, None)
+        sc = P(*lead, None, None)
+        xm = P(*lead, None)
+    return QuantTensor(
+        qweight=qw,
+        scales=sc,
+        zscale=sc,
+        x_map=None if qt.x_map is None else xm,
+        in_features=qt.in_features,
+        out_features=qt.out_features,
+        groupsize=qt.groupsize,
+    )
+
+
+def _can_shard_out(qt: QuantTensor, tp: int) -> bool:
+    """Column sharding must keep whole panels per shard (see module doc)."""
+    n_pad = qt.qweight.shape[-1] * 8
+    return (n_pad // PANEL) % tp == 0
+
+
+def _can_shard_in(qt: QuantTensor, tp: int) -> bool:
+    """Row sharding must keep quantization groups whole per shard."""
+    k = qt.in_features
+    return k % tp == 0 and (k // tp) % qt.groupsize == 0
+
+
+def param_shardings(params, mesh: Mesh):
+    """ModelParams-shaped pytree of NamedShardings (params are stacked [L])."""
+    from exllama_tpu.models.llama import LayerParams, ModelParams
+
+    tp = mesh.shape["tp"]
+    lp = params.layers
+
+    def spec_for(qt: QuantTensor, want: str) -> QuantTensor:
+        """Degrade to replication when the tensor can't split cleanly —
+        e.g. GQA k/v projections whose N is below PANEL*tp (a replicated
+        small matmul beats a broken layout; its KV output is still sliced
+        per-shard by the cache's head sharding)."""
+        ok = _can_shard_out(qt, tp) if want == "out" else _can_shard_in(qt, tp)
+        return _quant_specs(qt, want if ok else "none", True)
+
+    layer_specs = LayerParams(
+        input_norm=P(None, None),
+        post_norm=P(None, None),
+        q=spec_for(lp.q, "out"),
+        k=spec_for(lp.k, "out"),
+        v=spec_for(lp.v, "out"),
+        o=spec_for(lp.o, "in"),
+        gate=spec_for(lp.gate, "out"),
+        up=spec_for(lp.up, "out"),
+        down=spec_for(lp.down, "in"),
+    )
+    specs = ModelParams(
+        embed=P(None, None),          # replicated: lookup stays local
+        layers=layer_specs,
+        norm=P(None),
+        lm_head=P(None, "tp"),        # logits sharded over vocab
+        rope_sin=P(None, None),
+        rope_cos=P(None, None),
+    )
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    if mesh is None:
+        return params
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def cache_sharding(mesh: Mesh) -> NamedSharding:
+    """[L, B, S, Hkv, D] — batch over dp, kv-heads over tp."""
+    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+
+
+def shard_cache(cache, mesh: Mesh):
+    from exllama_tpu.cache import KVCacheState
+
+    sh = cache_sharding(mesh)
+    cache.state = KVCacheState(
+        k=jax.device_put(cache.state.k, sh),
+        v=jax.device_put(cache.state.v, sh),
+    )
+    return cache
