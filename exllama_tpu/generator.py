@@ -92,6 +92,10 @@ class ExLlamaGenerator:
             (self.cache.batch_size, self.cache.max_seq_len), jnp.int32
         )
         self._mask = None
+        self._beam_cache = None
+        self._beam_seqs: Optional[np.ndarray] = None
+        self._beam_lps: Optional[np.ndarray] = None
+        self._beam_prefix = 0
 
     # ------------------------------------------------------------------ rng
 
@@ -326,15 +330,210 @@ class ExLlamaGenerator:
         )
         return text
 
-    # ------------------------------------------------- beam search (stubs)
+    # ----------------------------------------------------------- beam search
+    #
+    # TPU re-design of the reference's beam search (generator.py:386-691).
+    # The reference forwards each beam separately and swaps small per-beam KV
+    # caches in and out of the main cache (Beam.to_sequence /
+    # record_last_cache_column). Here beams ARE the batch dimension: one
+    # batched forward per lookahead step evaluates every beam, and beam
+    # reordering is a row gather on the beam cache. Semantics preserved:
+    # `beams` hypotheses with `beam_length` lookahead; each beam_search()
+    # call commits the first token of the best beam, prunes beams that don't
+    # share it, and slides the window. Initial beams are a multinomial
+    # draw without replacement from the filtered distribution; subsequent
+    # expansion is top-(beams) over the union of per-beam filtered
+    # candidates ranked by cumulative log-prob — exactly the reference's
+    # selection rule.
 
     def begin_beam_search(self):
+        self.beams = None
+        if self.settings.beams == 1 and self.settings.beam_length == 1:
+            return
         self.in_beam_search = True
+
+    def _beam_filter(self, logits, n_rows):
+        """Rep-penalized, filtered per-row distributions [n, V]."""
+        from exllama_tpu.ops.sampling import apply_rep_penalty, filter_probs
+
+        s = self.settings
+        lg = np.asarray(logits[:, -1, :], np.float32)
+        # history per beam row: committed sequence + beam lookahead
+        hist = np.zeros((n_rows, self.cache.max_seq_len), np.int32)
+        base = self.sequence[0]
+        for i in range(n_rows):
+            row = base
+            if self._beam_seqs is not None:
+                row = np.concatenate([base, self._beam_seqs[i]])
+            m = min(len(row), self.cache.max_seq_len)
+            hist[i, :m] = row[:m]
+        hist_len = min(
+            len(base)
+            + (0 if self._beam_seqs is None else self._beam_seqs.shape[1]),
+            self.cache.max_seq_len,
+        )
+        lg = apply_rep_penalty(
+            jnp.asarray(np.broadcast_to(lg, (n_rows, lg.shape[-1]))),
+            jnp.asarray(hist),
+            jnp.int32(hist_len),
+            jnp.float32(s.token_repetition_penalty_max),
+            s.token_repetition_penalty_sustain,
+            s.token_repetition_penalty_decay,
+        )
+        return np.asarray(
+            filter_probs(lg, s.temperature, s.top_k, s.top_p, s.min_p,
+                         s.typical)
+        )
+
+    def beam_search(self):
+        s = self.settings
+        if s.beams == 1 and s.beam_length == 1:
+            return self.gen_single_token()
+        if self.sequence is None:
+            return self.gen_single_token()
+        assert self.in_beam_search
+        from exllama_tpu.cache import ExLlamaCache, KVCacheState
+
+        n_beams = s.beams
+        max_lookahead = min(
+            self.model.config.max_seq_len - s.beam_length, s.beam_length
+        )
+
+        while self.beams is None or self._beam_seqs.shape[1] < max_lookahead:
+            if self.beams is None:
+                # Re-expansion: the main cache may be stale if previous
+                # commits consumed a full lookahead window — sync it first.
+                self._sync_main_cache_from_beams()
+
+                # Initial expansion off the main cache.
+                logits = self.model.forward(
+                    self.sequence[:, -1:], self.cache, lora=self.lora,
+                    input_mask=self._mask,
+                )
+                self._beam_prefix = self.sequence.shape[1]
+                self._beam_seqs = None
+                probs = self._beam_filter(logits, 1)[0]
+                # multinomial without replacement = gumbel top-k
+                g = np.asarray(
+                    jax.random.gumbel(self._next_key(), (probs.shape[0],))
+                )
+                scores = np.where(probs > 0, np.log(probs + 1e-30) + g, -np.inf)
+                k = min(n_beams, int((probs > 0).sum()))
+                toks = np.argsort(-scores)[:k].astype(np.int32)
+                self._beam_seqs = toks[:, None]
+                self._beam_lps = np.log(probs[toks] + 1e-30)
+
+                # Beam cache: broadcast the main cache prefix to all rows.
+                if self._beam_cache is None or self._beam_cache.shape[1] != k:
+                    self._beam_cache = ExLlamaCache(
+                        shape=(
+                            self.cache.shape[0],
+                            k,
+                            self.cache.max_seq_len,
+                            self.cache.shape[3],
+                            self.cache.shape[4],
+                        ),
+                        dtype=self.cache.dtype,
+                    )
+                pref = self.cache.current_seq_len
+                self.cache.copy_states(
+                    self._beam_cache, 0, pref, 0, pref,
+                    from_row=0, from_rows=1, to_row=0, to_rows=k,
+                )
+                self._beam_cache.current_seq_len = pref
+                self.beams = True  # sentinel: beams active
+            else:
+                n = self._beam_seqs.shape[0]
+                logits = self.model.forward(
+                    self._beam_seqs[:, -1:], self._beam_cache, lora=self.lora
+                )
+                probs = self._beam_filter(logits, n)       # [n, V]
+                cand = np.where(
+                    probs > 0,
+                    self._beam_lps[:, None] + np.log(probs + 1e-30),
+                    -np.inf,
+                )
+                flat = cand.reshape(-1)
+                k = min(n_beams, int(np.isfinite(flat).sum()))
+                top = np.argpartition(-flat, k - 1)[:k]
+                top = top[np.argsort(-flat[top])]
+                parents = (top // probs.shape[1]).astype(np.int32)
+                tokens = (top % probs.shape[1]).astype(np.int32)
+
+                # Gather cache rows by parent beam (device op).
+                st = self._beam_cache.state
+                self._beam_cache.state = KVCacheState(
+                    k=jnp.take(st.k, jnp.asarray(parents), axis=1),
+                    v=jnp.take(st.v, jnp.asarray(parents), axis=1),
+                )
+                self._beam_seqs = np.concatenate(
+                    [self._beam_seqs[parents], tokens[:, None]], axis=1
+                )
+                self._beam_lps = flat[top]
+
+        # Lookahead full: commit the first token of the best beam.
+        best = int(np.argmax(self._beam_lps))
+        best_token = int(self._beam_seqs[best, 0])
+        self.sequence = np.concatenate(
+            [self.sequence, np.array([[best_token]], np.int32)], axis=1
+        )
+        self.sequence_actual = self.sequence
+        self._sync_seq_buf()
+
+        # Prune beams that don't start with the winner; slide the window.
+        keep = np.nonzero(self._beam_seqs[:, 0] == best_token)[0]
+        keep = np.concatenate([[best], keep[keep != best]]).astype(np.int64)
+        st = self._beam_cache.state
+        self._beam_cache.state = KVCacheState(
+            k=jnp.take(st.k, jnp.asarray(keep), axis=1),
+            v=jnp.take(st.v, jnp.asarray(keep), axis=1),
+        )
+        self._beam_seqs = self._beam_seqs[keep][:, 1:]
+        self._beam_lps = self._beam_lps[keep]
+        self._beam_prefix += 1
+        if self._beam_seqs.shape[1] == 0:
+            self._beam_seqs = None
+            self.beams = None  # forces re-expansion next call
+
+        return np.array([[best_token]], np.int32)
+
+    def _sync_main_cache_from_beams(self):
+        """Copy committed-position KV from beam row 0 back into the main
+        cache (all kept rows hold identical KV for committed positions —
+        they share the committed prefix by construction)."""
+        if self.sequence is None:
+            return
+        target_len = self.sequence.shape[1] - 1
+        valid = self.cache.current_seq_len
+        if self._beam_cache is not None and target_len > valid:
+            self._beam_cache.copy_states(
+                self.cache, valid, target_len - valid, valid,
+                target_len - valid, from_row=0, from_rows=1, to_row=0,
+                to_rows=1,
+            )
+            self.cache.current_seq_len = target_len
 
     def end_beam_search(self):
         if not self.in_beam_search:
             return
+        self.sequence = self.sequence_actual.copy()
+        self._sync_main_cache_from_beams()
+        self.cache.current_seq_len = self.sequence.shape[1] - 1
+        self.beams = None
+        self._beam_seqs = None
+        self._beam_cache = None
         self.in_beam_search = False
 
-    def replace_last_token(self, token):
+    def replace_last_token(self, token, seq=False):
         self.sequence_actual[:, -1] = int(np.asarray(token).reshape(-1)[0])
+        if seq:
+            self.sequence[:, -1] = int(np.asarray(token).reshape(-1)[0])
+
+    def sequence_ends_with(self, tokens) -> bool:
+        tokens = np.asarray(tokens).reshape(-1)
+        n = len(tokens)
+        if self.sequence_actual.shape[1] < n + 1:
+            return False
+        return bool(
+            np.array_equal(self.sequence_actual[0, -n:], tokens)
+        )

@@ -107,16 +107,17 @@ def apply_rep_penalty(
     return jnp.where(logits > 0.0, logits / v, logits * v)
 
 
-def _sample_row(
+def _filter_row(
     logits: jax.Array,     # [V] f32
-    key: jax.Array,
     temperature: jax.Array,
     top_k: jax.Array,      # int32 scalar, 0 = disabled
     top_p: jax.Array,
     min_p: jax.Array,
     typical: jax.Array,
-) -> tuple[jax.Array, jax.Array]:
-    """One row of the reference sampling pipeline. Returns (token, prob)."""
+) -> jax.Array:
+    """The reference filtering pipeline → normalized probs [V] in vocab
+    order, exact zeros on filtered-out tokens. Shared by sampling (categorical
+    over the result) and beam search (candidate distributions)."""
     v = logits.shape[-1]
     logits = logits / temperature + 1e-8
     probs = jax.nn.softmax(logits, axis=-1)
@@ -139,8 +140,7 @@ def _sample_row(
     sp = jax.lax.cond(top_p > 0.0, do_top_p, lambda s: s, sp)
 
     # locally-typical sampling
-    def do_typical(args):
-        sp = args
+    def do_typical(sp):
         logp = jnp.log(sp + 1e-10)
         neg_entropy = jnp.sum(jnp.where(sp > 0, sp * logp, 0.0))
         dev = jnp.abs(neg_entropy - logp)
@@ -150,15 +150,49 @@ def _sample_row(
         cum = jnp.cumsum(sp_t)
         keep_t = (ranks == 0) | (cum <= typical)
         sp_t = jnp.where(keep_t, sp_t, 0.0)
-        # scatter back to descending-prob order
         sp_new = jnp.zeros_like(sp).at[order].set(sp_t)
         return sp_new / jnp.sum(sp_new)
 
     sp = jax.lax.cond(typical > 0.0, do_typical, lambda s: s, sp)
 
-    # categorical over the surviving set (normalization-invariant)
+    # scatter the filtered probs back to vocab order
+    return jnp.zeros_like(sp).at[si].set(sp)
+
+
+def filter_probs(
+    logits: jax.Array,     # [B, V] f32
+    temperature,
+    top_k,
+    top_p,
+    min_p,
+    typical,
+) -> jax.Array:
+    """Batched :func:`_filter_row`."""
+    return jax.vmap(
+        lambda row: _filter_row(
+            row,
+            jnp.float32(temperature),
+            jnp.int32(top_k),
+            jnp.float32(top_p),
+            jnp.float32(min_p),
+            jnp.float32(typical),
+        )
+    )(logits.astype(jnp.float32))
+
+
+def _sample_row(
+    logits: jax.Array,     # [V] f32
+    key: jax.Array,
+    temperature: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+    min_p: jax.Array,
+    typical: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """One row of the reference sampling pipeline. Returns (token, prob)."""
+    sp = _filter_row(logits, temperature, top_k, top_p, min_p, typical)
     choice = jax.random.categorical(key, jnp.log(sp + 1e-30))
-    return si[choice], sp[choice]
+    return choice, sp[choice]
 
 
 def sample(

@@ -1,0 +1,115 @@
+"""Beam search tests.
+
+Key invariants: with top_k=1 the filtered distribution is a single token, so
+beam search must reproduce greedy decoding exactly; and after
+end_beam_search the main cache must be consistent (continuing greedy decode
+equals a fresh prefill of the same sequence — exercises the KV sync from
+beam rows back to the main cache)."""
+
+import numpy as np
+import pytest
+
+from exllama_tpu.cache import ExLlamaCache
+from exllama_tpu.config import ExLlamaConfig
+from exllama_tpu.formats.loader import make_synthetic_params
+from exllama_tpu.generator import ExLlamaGenerator
+from exllama_tpu.models.llama import ExLlama
+from exllama_tpu.tokenizer import FakeTokenizer
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = ExLlamaConfig()
+    cfg.hidden_size = 256
+    cfg.intermediate_size = 512
+    cfg.num_attention_heads = 4
+    cfg.num_key_value_heads = 4
+    cfg.head_dim = 64
+    cfg.num_hidden_layers = 2
+    cfg.vocab_size = 260
+    cfg.max_seq_len = 96
+    cfg.tuning.matmul_impl = "xla"
+    cfg.tuning.attn_len_bucket = 32
+    return ExLlama(cfg, params=make_synthetic_params(cfg, 128, False, seed=21))
+
+
+def fresh_gen(model, seed=0):
+    return ExLlamaGenerator(model, FakeTokenizer(), ExLlamaCache(model),
+                            seed=seed)
+
+
+def test_beam_search_topk1_equals_greedy(model):
+    ids = FakeTokenizer().encode("beam test prompt")
+
+    g1 = fresh_gen(model)
+    g1.settings.top_k = 1
+    g1.settings.temperature = 1.0
+    g1.gen_begin(ids)
+    greedy_tokens = [int(g1.gen_single_token()[0, 0]) for _ in range(6)]
+
+    g2 = fresh_gen(model)
+    g2.settings.top_k = 1
+    g2.settings.temperature = 1.0
+    g2.settings.beams = 3
+    g2.settings.beam_length = 4
+    g2.gen_begin(ids)
+    g2.begin_beam_search()
+    beam_tokens = [int(g2.beam_search()[0, 0]) for _ in range(6)]
+    g2.end_beam_search()
+
+    assert beam_tokens == greedy_tokens
+
+
+def test_cache_consistent_after_end_beam_search(model):
+    ids = FakeTokenizer().encode("consistency")
+    g = fresh_gen(model)
+    g.settings.top_k = 1
+    g.settings.beams = 2
+    g.settings.beam_length = 3
+    g.gen_begin(ids)
+    g.begin_beam_search()
+    for _ in range(5):
+        g.beam_search()
+    g.end_beam_search()
+    seq = g.sequence.copy()
+    next_after_beam = int(g.gen_single_token()[0, 0])
+
+    g2 = fresh_gen(model)
+    g2.settings.top_k = 1
+    g2.gen_begin(seq)
+    next_fresh = int(g2.gen_single_token()[0, 0])
+    assert next_after_beam == next_fresh
+
+
+def test_beam_search_stochastic_runs(model):
+    g = fresh_gen(model, seed=3)
+    g.settings.beams = 3
+    g.settings.beam_length = 3
+    g.settings.top_k = 40
+    g.settings.top_p = 0.9
+    g.gen_begin(FakeTokenizer().encode("stochastic"))
+    g.begin_beam_search()
+    toks = [int(g.beam_search()[0, 0]) for _ in range(8)]
+    g.end_beam_search()
+    assert all(0 <= t < 260 for t in toks)
+    assert g.sequence.shape[1] == g.cache.current_seq_len + 1
+
+
+def test_window_rollover(model):
+    """More commits than beam_length forces re-expansion with a stale main
+    cache — exercises _sync_main_cache_from_beams."""
+    g = fresh_gen(model)
+    g.settings.top_k = 1
+    g.settings.beams = 2
+    g.settings.beam_length = 2
+    ids = FakeTokenizer().encode("roll")
+    g.gen_begin(ids)
+
+    g2 = fresh_gen(model)
+    g2.settings.top_k = 1
+    g2.gen_begin(ids)
+    greedy = [int(g2.gen_single_token()[0, 0]) for _ in range(7)]
+
+    g.begin_beam_search()
+    beam = [int(g.beam_search()[0, 0]) for _ in range(7)]
+    assert beam == greedy
