@@ -48,12 +48,17 @@ def main():
     prompt_len, decode_len = 1920, 128
     ids = rng.integers(0, cfg.vocab_size, size=(1, prompt_len)).astype(np.int32)
 
+    def sync(x):
+        # axon's block_until_ready can return before execution finishes;
+        # fetching a value to host is the only reliable fence.
+        return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
     # ---- prompt pass (prefill), 1 warmup + 2 timed (reference does 2)
     def prefill():
         cache.current_seq_len = 0
         t0 = time.perf_counter()
         model.forward(ids, cache, preprocess_only=True)
-        jax.block_until_ready(cache.state.k)
+        sync(cache.state.k[0, 0, 17, 0, :1])
         return time.perf_counter() - t0
 
     prefill()  # compile
@@ -90,14 +95,14 @@ def main():
     tok0 = jnp.asarray([[1]], jnp.int32)
     past = jnp.int32(cache.current_seq_len)
     kv, tok = decode_n(model.params, cache.state, tok0, past)  # compile+run
-    jax.block_until_ready(tok)
+    sync(tok)
 
     # timed runs (reset cache cursor; KV contents don't affect timing)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         kv, tok = decode_n(model.params, kv, tok0, past)
-        jax.block_until_ready(tok)
+        sync(tok)
         times.append(time.perf_counter() - t0)
     decode_ts = decode_len / min(times)
 

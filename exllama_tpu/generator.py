@@ -330,6 +330,68 @@ class ExLlamaGenerator:
         )
         return text
 
+    # --------------------------------------------- classifier-free guidance
+
+    def sample_current(self, logits_row, num=1):
+        """Sample from an externally-mixed logits row [V] with the current
+        settings (reference generator.sample_current used by example_cfg)."""
+        from exllama_tpu.ops.sampling import _filter_row
+
+        s = self.settings
+        sp = _filter_row(
+            jnp.asarray(logits_row, jnp.float32),
+            jnp.float32(s.temperature),
+            jnp.int32(s.top_k),
+            jnp.float32(s.top_p),
+            jnp.float32(s.min_p),
+            jnp.float32(s.typical),
+        )
+        choice = jax.random.categorical(
+            self._next_key(), jnp.log(sp + 1e-30)
+        )
+        return np.asarray(choice).reshape(1, 1), np.asarray(sp[choice])
+
+    def generate_cfg(self, prompts: list, alpha: float,
+                     max_new_tokens: int) -> str:
+        """Classifier-free guidance decoding (reference example_cfg.py:60-82):
+        batch of (conditional, unconditional) prompts; per step the two rows'
+        log-softmaxes mix as (1-alpha)·cond + alpha·uncond; the sampled token
+        is broadcast to both rows."""
+        assert len(prompts) == 2, "CFG needs (positive, negative) prompts"
+        from exllama_tpu.ops.sampling import apply_rep_penalty
+
+        ids, mask = self.tokenizer.encode(
+            prompts, return_mask=True,
+            max_seq_len=self.model.config.max_seq_len,
+        )
+        full_mask = np.zeros(
+            (2, self.model.config.max_seq_len), bool
+        )
+        full_mask[:, : ids.shape[1]] = mask
+        self.gen_begin(ids, mask=full_mask)
+
+        s = self.settings
+        for _ in range(max_new_tokens):
+            logits = self.model.forward(
+                self.sequence[:, -1:], self.cache, lora=self.lora,
+                input_mask=self._mask,
+            )
+            lg = logits[:, -1, :].astype(jnp.float32)
+            lg = apply_rep_penalty(
+                lg, self._seq_buf, jnp.int32(self.sequence.shape[1]),
+                jnp.float32(s.token_repetition_penalty_max),
+                s.token_repetition_penalty_sustain,
+                s.token_repetition_penalty_decay,
+            )
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            mixed = (1.0 - alpha) * lp[0] + alpha * lp[1]
+            token, _ = self.sample_current(mixed)
+            if int(token[0, 0]) == self.tokenizer.eos_token_id:
+                break
+            self.gen_accept_token(np.repeat(token, 2, axis=0))
+            self._sync_seq_buf()
+        return self.tokenizer.decode(self.sequence[0])
+
     # ----------------------------------------------------------- beam search
     #
     # TPU re-design of the reference's beam search (generator.py:386-691).

@@ -1,0 +1,122 @@
+"""Shared CLI argument vocabulary → ExLlamaConfig factory.
+
+Analogue of the reference's model_init.py: one argparse vocabulary shared by
+the benchmark, examples, and webui, mapped onto a config by make_config().
+CUDA-specific flags (gpu_split, fused tuning thresholds, affinity) become
+their TPU equivalents (mesh axes, kernel impl, attention bucketing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+from exllama_tpu.config import ExLlamaConfig
+
+
+def add_args(parser: argparse.ArgumentParser):
+    parser.add_argument("-d", "--directory", type=str,
+                        help="Path to model directory (config.json + tokenizer + .safetensors)")
+    parser.add_argument("-c", "--config", type=str, help="Path to config.json")
+    parser.add_argument("-m", "--model", type=str,
+                        help="Path to model.safetensors (file or shard dir)")
+    parser.add_argument("-t", "--tokenizer", type=str,
+                        help="Path to tokenizer.model / tokenizer.json")
+
+    parser.add_argument("-l", "--length", type=int, default=2048,
+                        help="Maximum sequence length")
+    parser.add_argument("-cpe", "--compress_pos_emb", type=float, default=1.0,
+                        help="Linear RoPE position compression")
+    parser.add_argument("-a", "--alpha", type=float, default=1.0,
+                        help="NTK-alpha RoPE scaling")
+    parser.add_argument("-theta", "--theta", type=float,
+                        help="Override rope_theta directly")
+
+    # TPU runtime (replaces the reference's -gs gpu_split and CUDA tuning)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel degree over the device mesh")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Data/batch-parallel degree")
+    parser.add_argument("--matmul_impl", type=str, default="auto",
+                        choices=["auto", "pallas", "xla"],
+                        help="q4 matmul implementation")
+    parser.add_argument("--attn_bucket", type=int, default=256,
+                        help="Decode attention length bucket (0 = full cache)")
+    parser.add_argument("--max_input_len", type=int, default=2048,
+                        help="Chunked-prefill max rows per chunk")
+
+
+def get_model_files(args):
+    """Resolve -d into explicit paths (reference model_init.py:50-80)."""
+    if args.directory is not None:
+        args.config = os.path.join(args.directory, "config.json")
+        st = glob.glob(os.path.join(args.directory, "*.safetensors"))
+        if not st:
+            raise FileNotFoundError(
+                f"no .safetensors in {args.directory}"
+            )
+        args.model = args.directory if len(st) > 1 else st[0]
+        for cand in ("tokenizer.model", "tokenizer.json"):
+            p = os.path.join(args.directory, cand)
+            if os.path.exists(p):
+                args.tokenizer = p
+                break
+    missing = [k for k in ("config", "model", "tokenizer")
+               if getattr(args, k) is None]
+    if missing:
+        raise ValueError(f"missing arguments: {missing} (or use -d)")
+
+
+def make_config(args) -> ExLlamaConfig:
+    config = ExLlamaConfig(args.config)
+    config.model_path = args.model
+    config.max_seq_len = args.length
+    config.max_input_len = min(args.max_input_len, args.length)
+    config.max_attention_size = args.length ** 2
+    config.compress_pos_emb = args.compress_pos_emb
+    if args.theta:
+        config.rotary_embedding_base = args.theta
+    if args.alpha != 1.0:
+        config.alpha_value = args.alpha
+        config.calculate_rotary_embedding_base()
+    config.tp_size = args.tp
+    config.dp_size = args.dp
+    config.tuning.matmul_impl = args.matmul_impl
+    config.tuning.attn_len_bucket = args.attn_bucket
+    return config
+
+
+def print_options(args, extra: dict | None = None):
+    print(f" -- Model config: {args.config}")
+    print(f" -- Model: {args.model}")
+    print(f" -- Sequence length: {args.length}")
+    if args.compress_pos_emb != 1.0:
+        print(f" -- RoPE compression: {args.compress_pos_emb}")
+    if args.alpha != 1.0:
+        print(f" -- NTK alpha: {args.alpha}")
+    print(f" -- Mesh: tp={args.tp} dp={args.dp}, "
+          f"matmul={args.matmul_impl}, attn_bucket={args.attn_bucket}")
+    if extra:
+        for k, v in extra.items():
+            print(f" -- {k}: {v}")
+
+
+def build(args):
+    """Config + model + tokenizer + mesh from parsed args."""
+    import jax
+
+    from exllama_tpu.models.llama import ExLlama
+    from exllama_tpu.parallel.mesh import make_mesh
+    from exllama_tpu.tokenizer import ExLlamaTokenizer
+
+    get_model_files(args)
+    config = make_config(args)
+    mesh = None
+    if args.tp * args.dp > 1:
+        mesh = make_mesh(tp=args.tp, dp=args.dp)
+    model = ExLlama(config, mesh=mesh)
+    tokenizer = ExLlamaTokenizer(args.tokenizer)
+    print(f" -- Groupsize (inferred): {config.groupsize}")
+    print(f" -- Act-order (inferred): {config.act_order}")
+    return config, model, tokenizer, mesh
