@@ -218,28 +218,46 @@ def load_quant_tensor(
     groupsize = k // groups
     assert scales.shape == (groups, n)
 
-    q = unpack_gptq_qweight(qweight)
     x_map = None
     if g_idx is not None:
         g_idx = np.asarray(g_idx)
-        if not np.array_equal(g_idx, np.arange(k) // groupsize):
+        if np.array_equal(g_idx, np.arange(k) // groupsize):
+            g_idx = None
+
+    from exllama_tpu import native
+
+    if native.available() and scales.dtype == np.float16:
+        # C++ fast path: repack directly from the wire format (csrc/)
+        if g_idx is not None:
+            counts = np.bincount(g_idx, minlength=groups)
+            if not np.all(counts == groupsize):
+                raise ValueError(
+                    "g_idx does not assign exactly groupsize rows/group"
+                )
+            x_map = native.make_x_map(g_idx, groups)
+        words = native.repack_panels(qweight, x_map, k, n)
+        s, zscale = native.zscale(qzeros, scales, groups, n)
+        s = s.astype(scale_dtype, copy=False)
+        zscale = zscale.astype(scale_dtype, copy=False)
+    else:
+        q = unpack_gptq_qweight(qweight)
+        if g_idx is not None:
             q, x_map = make_sequential(q, g_idx, groupsize)
-
-    z = unpack_gptq_qzeros(qzeros).astype(scale_dtype)
-    s = scales.astype(scale_dtype)
-    zscale = (z + 1.0) * s
-
-    n_pad = -(-n // PANEL) * PANEL
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n))
-        s = np.pad(s, pad)
-        zscale = np.pad(zscale, pad)
+        z = unpack_gptq_qzeros(qzeros).astype(scale_dtype)
+        s = scales.astype(scale_dtype)
+        zscale = (z + 1.0) * s
+        n_pad = -(-n // PANEL) * PANEL
+        if n_pad != n:
+            pad = ((0, 0), (0, n_pad - n))
+            s = np.pad(s, pad)
+            zscale = np.pad(zscale, pad)
+        words = repack_panels(q)
 
     return QuantTensor(
-        qweight=repack_panels(q),
+        qweight=words,
         scales=s,
         zscale=zscale,
-        x_map=x_map,
+        x_map=None if x_map is None else np.asarray(x_map, np.int32),
         in_features=k,
         out_features=n,
         groupsize=groupsize,
