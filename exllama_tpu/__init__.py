@@ -17,6 +17,10 @@ the reference):
     generator = ExLlamaGenerator(model, tokenizer, cache)
 """
 
+from exllama_tpu.utils.compile_cache import init_compilation_cache
+
+init_compilation_cache()
+
 from exllama_tpu.config import ExLlamaConfig
 from exllama_tpu.version import __version__
 

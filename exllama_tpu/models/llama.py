@@ -162,7 +162,11 @@ def forward_chunk(
     """
     b, t = tokens.shape
     h = jnp.take(params.embed, tokens, axis=0)  # [B, T, hidden]
-    positions = past_len + jnp.arange(t, dtype=jnp.int32)
+    # past_len may be scalar or [B] (per-slot cursors, continuous batching)
+    if past_len.ndim == 1:
+        positions = past_len[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    else:
+        positions = past_len + jnp.arange(t, dtype=jnp.int32)
 
     layer_fn = functools.partial(
         _decoder_layer,

@@ -31,14 +31,28 @@ def update_kv_cache(
     v_cache: jax.Array,
     new_k: jax.Array,     # [B, T, Hkv, D]
     new_v: jax.Array,
-    past_len: jax.Array,  # scalar int32
+    past_len: jax.Array,  # scalar int32, or [B] for per-slot cursors
 ) -> tuple[jax.Array, jax.Array]:
     """Write T new KV rows at position past_len (functional update).
 
     Analogue of the reference's cache write (model.py:440-443 and
     update_cache_kernel, q4_attn.cu:19-72). Under jit with donated cache
-    buffers XLA performs this in place.
+    buffers XLA performs this in place. A [B]-shaped past_len writes each
+    batch row at its own offset (continuous-batching slots).
     """
+    if past_len.ndim == 1:
+        def row(kc, vc, nk, nv, p):
+            z = jnp.zeros((), jnp.int32)
+            kc = jax.lax.dynamic_update_slice(
+                kc, nk.astype(kc.dtype), (p.astype(jnp.int32), z, z)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, nv.astype(vc.dtype), (p.astype(jnp.int32), z, z)
+            )
+            return kc, vc
+
+        return jax.vmap(row)(k_cache, v_cache, new_k, new_v, past_len)
+
     zeros = (jnp.zeros((), jnp.int32),) * 2
     start = (jnp.zeros((), jnp.int32), past_len.astype(jnp.int32)) + zeros
     k_cache = jax.lax.dynamic_update_slice(k_cache, new_k.astype(k_cache.dtype), start)
@@ -50,7 +64,7 @@ def attend(
     q: jax.Array,          # [B, T, H, D]
     k_cache: jax.Array,    # [B, S_max, Hkv, D]
     v_cache: jax.Array,    # [B, S_max, Hkv, D]
-    past_len: jax.Array,   # scalar int32: queries are at positions past_len+t
+    past_len: jax.Array,   # scalar or [B]: queries are at positions past_len+t
     attend_len: int,       # static: read cache[:, :attend_len]
     input_mask: Optional[jax.Array] = None,  # [B, S_max] bool, True = valid
 ) -> jax.Array:
@@ -59,6 +73,8 @@ def attend(
     Causality: query t attends to cache position s iff s <= past_len + t
     (and s < attend_len, and input_mask[b, s] if given — the reference's
     left-padding mask for batched generation, model.py:1014-1033).
+    A [B]-shaped past_len gives each row its own cursor (continuous
+    batching slots).
     """
     b, t, h, d = q.shape
     hkv = k_cache.shape[2]
@@ -75,10 +91,16 @@ def attend(
     )
     scores = scores * scale
 
-    s_pos = jnp.arange(attend_len, dtype=jnp.int32)[None, :]      # [1, S]
-    t_pos = past_len + jnp.arange(t, dtype=jnp.int32)[:, None]    # [T, 1]
-    causal = s_pos <= t_pos                                       # [T, S]
-    mask = causal[None, None, None, :, :]
+    s_pos = jnp.arange(attend_len, dtype=jnp.int32)    # [S]
+    t_off = jnp.arange(t, dtype=jnp.int32)             # [T]
+    if past_len.ndim == 1:
+        t_pos = past_len[:, None] + t_off[None, :]     # [B, T]
+        causal = s_pos[None, None, :] <= t_pos[:, :, None]  # [B, T, S]
+        mask = causal[:, None, None, :, :]
+    else:
+        t_pos = past_len + t_off[:, None]              # [T, 1]
+        causal = s_pos[None, :] <= t_pos               # [T, S]
+        mask = causal[None, None, None, :, :]
     if input_mask is not None:
         valid = input_mask[:, :attend_len][:, None, None, None, :]
         mask = jnp.logical_and(mask, valid)
