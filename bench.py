@@ -27,7 +27,9 @@ def build_model(layers=32):
     cfg.max_seq_len = 2048
     cfg.max_input_len = 2048
     cfg.max_attention_size = 2048 ** 2
-    params = make_synthetic_params(cfg, groupsize=128, act_order=False, seed=0)
+    params = make_synthetic_params(
+        cfg, groupsize=128, act_order=False, seed=0, fast=True
+    )
     return ExLlama(cfg, params=params)
 
 
@@ -58,7 +60,7 @@ def main():
         cache.current_seq_len = 0
         t0 = time.perf_counter()
         model.forward(ids, cache, preprocess_only=True)
-        sync(cache.state.k[0, 0, 17, 0, :1])
+        sync(cache.state.k[0][0, 17, 0, :1])
         return time.perf_counter() - t0
 
     prefill()  # compile

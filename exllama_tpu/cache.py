@@ -3,10 +3,14 @@
 Re-design of the reference's ``ExLlamaCache`` (model.py:557-631): per-layer
 fp16 tensors with a single position cursor. Differences, all TPU-motivated:
 
-  * Layers are stacked into one [L, B, S_max, Hkv, D] array so the model can
-    ``lax.scan`` over layers and the cache threads through as scan xs/ys.
-  * Layout is sequence-major ([.., S, Hkv, D] instead of the reference's
-    [.., Hkv, S, D]): new rows are one contiguous dynamic-update-slice and
+  * Each layer's cache is its own [B, S_max, Hkv, D] array (a tuple over
+    layers). Keeping layers as separate buffers lets the unrolled forward
+    pass feed each Pallas kernel its own operand with no per-layer
+    slice-materialization: a stacked [L, ...] array + lax.scan forced XLA to
+    copy every layer's 33 MB KV slice (and 100 MB weight slice) in and out
+    per token — measured 3x the whole decode budget on v5e.
+  * Layout is sequence-major ([B, S, Hkv, D] instead of the reference's
+    [B, Hkv, S, D]): new rows are one contiguous dynamic-update-slice and
     decode attention streams the cache linearly.
   * dtype is bfloat16 (TPU-native) instead of fp16.
   * All mutation is functional; under jit with donated buffers XLA updates
@@ -27,10 +31,20 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCacheState:
-    """Device half of the cache: the stacked KV arrays."""
+    """Device half of the cache: per-layer KV arrays.
 
-    k: jax.Array  # [L, B, S_max, Hkv, D]
-    v: jax.Array  # [L, B, S_max, Hkv, D]
+    ``k`` and ``v`` are tuples (length L) of [B, S_max, Hkv, D] arrays.
+    """
+
+    k: tuple
+    v: tuple
+
+
+def _map_state(fn, state: KVCacheState) -> KVCacheState:
+    return KVCacheState(
+        k=tuple(fn(x) for x in state.k),
+        v=tuple(fn(x) for x in state.v),
+    )
 
 
 class ExLlamaCache:
@@ -55,7 +69,9 @@ class ExLlamaCache:
             self.max_seq_len = copy_from.max_seq_len
             self.shape = copy_from.shape
             self.dtype = copy_from.dtype
-            self.state = KVCacheState(copy_from.state.k, copy_from.state.v)
+            self.state = KVCacheState(
+                tuple(copy_from.state.k), tuple(copy_from.state.v)
+            )
             self.current_seq_len = copy_from.current_seq_len
             return
 
@@ -75,17 +91,17 @@ class ExLlamaCache:
         self.max_seq_len = shape[2]
         self.shape = shape
         self.dtype = dtype
+        layer_shape = shape[1:]
         self.state = KVCacheState(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype)
+            k=tuple(jnp.zeros(layer_shape, dtype) for _ in range(shape[0])),
+            v=tuple(jnp.zeros(layer_shape, dtype) for _ in range(shape[0])),
         )
         self.current_seq_len = 0
 
     # -- reference-parity ops (model.py:588-631) ---------------------------
 
     def zero(self):
-        self.state = KVCacheState(
-            jnp.zeros_like(self.state.k), jnp.zeros_like(self.state.v)
-        )
+        self.state = _map_state(jnp.zeros_like, self.state)
         self.current_seq_len = 0
 
     def clone(self) -> "ExLlamaCache":
@@ -94,9 +110,8 @@ class ExLlamaCache:
     def roll_left(self):
         """Drop position 0, shift everything left by one (beam bookkeeping,
         reference model.py:601-608)."""
-        self.state = KVCacheState(
-            k=jnp.roll(self.state.k, -1, axis=2),
-            v=jnp.roll(self.state.v, -1, axis=2),
+        self.state = _map_state(
+            lambda x: jnp.roll(x, -1, axis=1), self.state
         )
         self.current_seq_len -= 1
 
@@ -117,48 +132,29 @@ class ExLlamaCache:
         batch row ``from_row`` into ``target`` at ``to_column``/``to_row``,
         broadcasting over rows when from_rows == 1 < to_rows."""
         assert from_columns == to_columns or from_columns == 1
-        src_k = jax.lax.dynamic_slice(
-            self.state.k,
-            (0, from_row, from_column, 0, 0),
-            (
-                self.shape[0],
-                from_rows,
-                from_columns,
-                self.shape[3],
-                self.shape[4],
+        hkv, d = self.shape[3], self.shape[4]
+
+        def copy_layer(src, dst):
+            s = jax.lax.dynamic_slice(
+                src,
+                (from_row, from_column, 0, 0),
+                (from_rows, from_columns, hkv, d),
+            )
+            if from_rows == 1 and to_rows > 1:
+                s = jnp.broadcast_to(s, (to_rows,) + s.shape[1:])
+            if from_columns == 1 and to_columns > 1:
+                s = jnp.broadcast_to(
+                    s, s.shape[:1] + (to_columns,) + s.shape[2:]
+                )
+            return jax.lax.dynamic_update_slice(
+                dst, s.astype(dst.dtype), (to_row, to_column, 0, 0)
+            )
+
+        target.state = KVCacheState(
+            k=tuple(
+                copy_layer(s, t) for s, t in zip(self.state.k, target.state.k)
+            ),
+            v=tuple(
+                copy_layer(s, t) for s, t in zip(self.state.v, target.state.v)
             ),
         )
-        src_v = jax.lax.dynamic_slice(
-            self.state.v,
-            (0, from_row, from_column, 0, 0),
-            (
-                self.shape[0],
-                from_rows,
-                from_columns,
-                self.shape[3],
-                self.shape[4],
-            ),
-        )
-        if from_rows == 1 and to_rows > 1:
-            src_k = jnp.broadcast_to(
-                src_k, (self.shape[0], to_rows) + src_k.shape[2:]
-            )
-            src_v = jnp.broadcast_to(
-                src_v, (self.shape[0], to_rows) + src_v.shape[2:]
-            )
-        if from_columns == 1 and to_columns > 1:
-            src_k = jnp.broadcast_to(
-                src_k,
-                src_k.shape[:2] + (to_columns,) + src_k.shape[3:],
-            )
-            src_v = jnp.broadcast_to(
-                src_v,
-                src_v.shape[:2] + (to_columns,) + src_v.shape[3:],
-            )
-        tk = jax.lax.dynamic_update_slice(
-            target.state.k, src_k.astype(target.dtype), (0, to_row, to_column, 0, 0)
-        )
-        tv = jax.lax.dynamic_update_slice(
-            target.state.v, src_v.astype(target.dtype), (0, to_row, to_column, 0, 0)
-        )
-        target.state = KVCacheState(tk, tv)

@@ -1,9 +1,10 @@
-"""Checkpoint loading: GPTQ safetensors → stacked ModelParams pytree.
+"""Checkpoint loading: GPTQ safetensors → per-layer ModelParams pytree.
 
 Analogue of the reference's load path (model.py:731-841): scan shards for
 keys, stream tensors, build quantized matrices. Instead of the reference's
-greedy per-layer GPU placement (model.py:770-801), params become one stacked
-pytree that is placed/sharded declaratively (see parallel/mesh.py).
+greedy per-layer GPU placement (model.py:770-801), params become one
+pytree (a tuple of per-layer LayerParams) placed/sharded declaratively
+(see parallel/mesh.py).
 
 Also provides a synthetic-checkpoint builder used by tests and benchmarks —
 the reference has no test fixtures beyond a wikitext sample; we fabricate
@@ -24,31 +25,6 @@ from exllama_tpu.formats.gptq import (
     load_quant_tensor,
     quantize_matrix,
 )
-
-
-def _stack_quant(tensors: list[QuantTensor]) -> QuantTensor:
-    """Stack per-layer QuantTensors along a new leading axis."""
-    t0 = tensors[0]
-    for t in tensors:
-        assert (t.in_features, t.out_features, t.groupsize) == (
-            t0.in_features,
-            t0.out_features,
-            t0.groupsize,
-        ), "layers must be homogeneous to stack"
-        assert (t.x_map is None) == (t0.x_map is None)
-    return QuantTensor(
-        qweight=jnp.stack([t.qweight for t in tensors]),
-        scales=jnp.stack([t.scales for t in tensors]),
-        zscale=jnp.stack([t.zscale for t in tensors]),
-        x_map=(
-            None
-            if t0.x_map is None
-            else jnp.stack([t.x_map for t in tensors])
-        ),
-        in_features=t0.in_features,
-        out_features=t0.out_features,
-        groupsize=t0.groupsize,
-    )
 
 
 def load_model_params(config: ExLlamaConfig, mesh=None):
@@ -114,11 +90,7 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
     config.groupsize = detected_gs
     config.act_order = detected_act
 
-    stacked = jax.tree.map(
-        lambda *xs: None if xs[0] is None else jnp.stack(xs, axis=0),
-        *layers,
-        is_leaf=lambda x: x is None,
-    )
+    stacked = tuple(layers)  # per-layer arrays (see models/llama.py)
 
     sin, cos = rope_tables(
         config.max_seq_len,
@@ -151,12 +123,19 @@ def make_synthetic_params(
     act_order: bool = False,
     seed: int = 0,
     mesh=None,
+    fast: bool = False,
 ):
     """Fabricate a random quantized model matching ``config``'s shapes.
 
     Weight scales follow standard transformer init so forward activations
     are numerically sane (usable for perf benchmarks and smoke tests).
+
+    ``fast=True`` fabricates the packed panel-layout tensors directly
+    (random nibbles + constant per-group scales) instead of quantizing real
+    float matrices — identical compute/memory profile on device, ~100x
+    faster to build on host. Use for perf benchmarks of big models.
     """
+    from exllama_tpu.formats.gptq import PANEL, QuantTensor
     from exllama_tpu.models.llama import LayerParams, ModelParams
     from exllama_tpu.ops.rope import rope_tables
 
@@ -167,14 +146,45 @@ def make_synthetic_params(
     qdim = config.num_attention_heads * config.head_dim
     dtype = jnp.bfloat16
 
-    def qt(k, n):
-        w = (rng.standard_normal((k, n)) * (0.02 / np.sqrt(k / 4096))).astype(
-            np.float32
+    def qt_slow(k, n):
+        w = (
+            rng.standard_normal((k, n), dtype=np.float32)
+            * (0.02 / np.sqrt(k / 4096))
         )
         t = quantize_matrix(w, groupsize, act_order, rng)
         return load_quant_tensor(
             t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
         )
+
+    def qt_fast(k, n):
+        n_pad = -(-n // PANEL) * PANEL
+        words = np.frombuffer(
+            rng.bytes(k * n_pad // 2), dtype=np.int32
+        ).reshape(k, n_pad // 8)
+        # Uniform nibbles (mean 7.5, std ~4.6); pick s so dequant values get
+        # std 0.02/sqrt(k/4096), zero-point 8 to roughly center them.
+        sigma = 0.02 / np.sqrt(k / 4096)
+        s = np.full((k // groupsize, n_pad), sigma / 4.6, np.float32)
+        s *= 1.0 + 0.05 * rng.standard_normal(s.shape, dtype=np.float32)
+        zs = 8.0 * s
+        if n_pad != n:
+            s[:, n:] = 0.0
+            zs[:, n:] = 0.0
+        return QuantTensor(
+            qweight=jnp.asarray(words),
+            scales=jnp.asarray(s),
+            zscale=jnp.asarray(zs),
+            x_map=(
+                jnp.asarray(rng.permutation(k).astype(np.int32))
+                if act_order
+                else None
+            ),
+            in_features=k,
+            out_features=n,
+            groupsize=groupsize,
+        )
+
+    qt = qt_fast if fast else qt_slow
 
     layers = []
     for _ in range(config.num_hidden_layers):
@@ -191,11 +201,7 @@ def make_synthetic_params(
                 down=qt(inter, h),
             )
         )
-    stacked = jax.tree.map(
-        lambda *xs: None if xs[0] is None else jnp.stack(xs, axis=0),
-        *layers,
-        is_leaf=lambda x: x is None,
-    )
+    stacked = tuple(layers)  # per-layer arrays (see models/llama.py)
     sin, cos = rope_tables(
         config.max_seq_len,
         config.head_dim,
@@ -204,12 +210,16 @@ def make_synthetic_params(
     )
     params = ModelParams(
         embed=jnp.asarray(
-            rng.standard_normal((config.vocab_size, h)) * 0.02, dtype=dtype
+            rng.standard_normal((config.vocab_size, h), dtype=np.float32)
+            * 0.02,
+            dtype=dtype,
         ),
         layers=stacked,
         norm=jnp.ones((h,), dtype),
         lm_head=jnp.asarray(
-            rng.standard_normal((h, config.vocab_size)) * 0.02, dtype=dtype
+            rng.standard_normal((h, config.vocab_size), dtype=np.float32)
+            * 0.02,
+            dtype=dtype,
         ),
         rope_sin=sin,
         rope_cos=cos,

@@ -419,7 +419,12 @@ class ExLlamaGenerator:
         from exllama_tpu.ops.sampling import apply_rep_penalty, filter_probs
 
         s = self.settings
-        lg = np.asarray(logits[:, -1, :], np.float32)
+        lg = np.array(logits[:, -1, :], np.float32)  # writable host copy
+        # same hard bans as the single-token path (_sample_step): BOS and
+        # explicitly disallowed tokens (reference generator.py:352, 101-102)
+        lg[:, self.tokenizer.bos_token_id] -= 10000.0
+        if self.disallowed_tokens:
+            lg[:, np.asarray(self.disallowed_tokens)] = -np.inf
         # history per beam row: committed sequence + beam lookahead
         hist = np.zeros((n_rows, self.cache.max_seq_len), np.int32)
         base = self.sequence[0]
@@ -524,9 +529,10 @@ class ExLlamaGenerator:
 
                 # Gather cache rows by parent beam (device op).
                 st = self._beam_cache.state
+                idx = jnp.asarray(parents)
                 self._beam_cache.state = KVCacheState(
-                    k=jnp.take(st.k, jnp.asarray(parents), axis=1),
-                    v=jnp.take(st.v, jnp.asarray(parents), axis=1),
+                    k=tuple(jnp.take(x, idx, axis=0) for x in st.k),
+                    v=tuple(jnp.take(x, idx, axis=0) for x in st.v),
                 )
                 self._beam_seqs = np.concatenate(
                     [self._beam_seqs[parents], tokens[:, None]], axis=1
@@ -546,9 +552,10 @@ class ExLlamaGenerator:
         keep = np.nonzero(self._beam_seqs[:, 0] == best_token)[0]
         keep = np.concatenate([[best], keep[keep != best]]).astype(np.int64)
         st = self._beam_cache.state
+        idx = jnp.asarray(keep)
         self._beam_cache.state = KVCacheState(
-            k=jnp.take(st.k, jnp.asarray(keep), axis=1),
-            v=jnp.take(st.v, jnp.asarray(keep), axis=1),
+            k=tuple(jnp.take(x, idx, axis=0) for x in st.k),
+            v=tuple(jnp.take(x, idx, axis=0) for x in st.v),
         )
         self._beam_seqs = self._beam_seqs[keep][:, 1:]
         self._beam_lps = self._beam_lps[keep]

@@ -8,9 +8,9 @@ keys, validates shapes against the target quantized matrices, transposes to
 runtime is a plain unmerged low-rank add fused into the q4 matmul
 (ops/quant.py q4_matmul(lora=...), mirroring exllama_ext.cpp:245-324).
 
-TPU difference: adapters are stacked per layer into a pytree that threads
-through the model's lax.scan — layers or projections without an adapter get
-zero-filled A/B of the same rank so the scan stays homogeneous (a zero
+TPU difference: adapters become a per-layer tuple of LayerLora pytrees that
+threads through the model's unrolled layer loop — layers without an adapter
+for an adapted projection get zero-filled A/B of the same rank (a zero
 low-rank add is exact and XLA-cheap at small r).
 """
 
@@ -30,8 +30,8 @@ _PROJ_NAMES = ("q", "k", "v", "o", "gate", "up", "down")
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerLora:
-    """Per-layer adapter pairs; in stacked form each leaf is [L, in, r] /
-    [L, r, out]. ``None`` = projection not adapted anywhere in the model."""
+    """One layer's adapter pairs ([in, r] / [r, out] each).
+    ``None`` = projection not adapted anywhere in the model."""
 
     q: Optional[tuple[jax.Array, jax.Array]]
     k: Optional[tuple[jax.Array, jax.Array]]
@@ -97,7 +97,7 @@ class ExLlamaLora:
             if proj not in _PROJ_NAMES or half not in ("lora_A", "lora_B"):
                 raise ValueError(f"unsupported key in {lora_path}: {key}")
 
-            target = getattr(model.params.layers, proj)
+            target = getattr(model.params.layers[layer_idx], proj)
             tensor = np.asarray(tensor, dtype=np.float32)
             if half == "lora_A":
                 # PEFT stores A as [r, in]; validate in_features
@@ -112,25 +112,29 @@ class ExLlamaLora:
                 t *= self.lora_scaling
             found[proj].setdefault(layer_idx, {})[half[-1]] = t
 
-        # Build stacked pytree
-        def stack_proj(proj: str):
+        # Build per-layer pytree tuple
+        def proj_for_layer(proj: str, li: int):
             entries = found[proj]
             if not entries:
-                return None
-            target = getattr(model.params.layers, proj)
-            k_in, n_out, r = target.in_features, target.out_features, self.lora_r
-            a = np.zeros((n_layers, k_in, r), np.float32)
-            b = np.zeros((n_layers, r, n_out), np.float32)
-            for li, halves in entries.items():
+                return None  # projection not adapted anywhere
+            target = getattr(model.params.layers[li], proj)
+            k_in, n_out, r = (
+                target.in_features, target.out_features, self.lora_r
+            )
+            halves = entries.get(li)
+            if halves is None:
+                a = np.zeros((k_in, r), np.float32)
+                b = np.zeros((r, n_out), np.float32)
+            else:
                 if "A" not in halves or "B" not in halves:
                     raise ValueError(f"incomplete A/B pair: layer {li} {proj}")
-                a[li] = halves["A"]
-                b[li] = halves["B"]
+                a, b = halves["A"], halves["B"]
             return (
                 jnp.asarray(a, jnp.bfloat16),
                 jnp.asarray(b, jnp.bfloat16),
             )
 
-        self.stacked = LayerLora(
-            **{p: stack_proj(p) for p in _PROJ_NAMES}
+        self.stacked = tuple(
+            LayerLora(**{p: proj_for_layer(p, li) for p in _PROJ_NAMES})
+            for li in range(n_layers)
         )

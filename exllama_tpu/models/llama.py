@@ -5,15 +5,20 @@ its module classes (ExLlamaAttention/MLP/RMSNorm/DecoderLayer). Key design
 translations:
 
   * The reference walks per-layer Python modules, hopping devices
-    (model.py:1053-1058). Here all layers are stacked into one pytree and the
-    forward pass is a single ``lax.scan`` — one compiled program, weights
-    sharded declaratively over the mesh instead of placed per-layer.
+    (model.py:1053-1058). Here all layers live in one pytree (a tuple of
+    per-layer params) and the forward pass is one jitted program with the
+    layer loop unrolled — weights sharded declaratively over the mesh
+    instead of placed per-layer. Unrolled rather than lax.scan on purpose:
+    scan over stacked [L, ...] params/KV forces XLA to materialize each
+    layer's weight and cache slices as copies around the Pallas calls
+    (measured ~3x the whole decode budget at 7B on v5e); per-layer arrays
+    feed each kernel its operand directly.
   * The reference's fused CUDA megakernels (q4_attn/q4_mlp) exist to cut
     kernel-launch overhead; under XLA everything is one jitted graph, and
     the Pallas q4 matmul plus XLA fusion of the elementwise glue gives the
     same effect without hand-scheduling.
-  * The KV cache threads through the scan as xs/ys (functional update); the
-    generator donates it between steps so XLA aliases the buffers.
+  * The KV cache threads through functionally and is donated between steps
+    so XLA updates the buffers in place.
   * Chunked prefill mirrors the reference exactly: chunks bounded by
     ``max_input_len`` and by solving (past+cs)*cs <= max_attention_size
     (model.py:948-963).
@@ -42,8 +47,7 @@ from exllama_tpu.ops.rope import apply_rope, rope_tables
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerParams:
-    """One decoder layer; in the full model every leaf gains a leading [L]
-    axis and the forward pass scans over it."""
+    """One decoder layer (each layer owns its arrays — see module doc)."""
 
     input_norm: jax.Array   # [hidden]
     post_norm: jax.Array    # [hidden]
@@ -60,15 +64,16 @@ class LayerParams:
 @dataclasses.dataclass
 class ModelParams:
     embed: jax.Array        # [vocab, hidden] bf16
-    layers: LayerParams     # stacked: leaves have leading [L]
+    layers: tuple           # tuple[LayerParams] — one entry per layer
     norm: jax.Array         # [hidden]
     lm_head: jax.Array      # [hidden, vocab] bf16
     rope_sin: jax.Array     # [max_seq_len, head_dim] f32
     rope_cos: jax.Array
 
 
-def stack_layers(layers: list[LayerParams]) -> LayerParams:
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+def stack_layers(layers: list[LayerParams]) -> tuple:
+    """Pack per-layer params for ModelParams.layers (a plain tuple)."""
+    return tuple(layers)
 
 
 # ---------------------------------------------------------------------------
@@ -156,9 +161,10 @@ def forward_chunk(
     """One forward chunk over all layers. Returns (logits|None, new KV).
 
     Analogue of reference ``ExLlama._forward`` (model.py:989-1082):
-    embedding → scan(layers) → final norm → lm_head, fp32 logits; with
+    embedding → layer loop → final norm → lm_head, fp32 logits; with
     ``preprocess_only`` skipping the head (prefill) and ``last_token_only``
-    slicing before the head (decode/prefill-final).
+    slicing before the head (decode/prefill-final). The layer loop is
+    unrolled over the per-layer params tuple (see module doc).
     """
     b, t = tokens.shape
     h = jnp.take(params.embed, tokens, axis=0)  # [B, T, hidden]
@@ -183,21 +189,13 @@ def forward_chunk(
         matmul_impl=matmul_impl,
     )
 
-    def scan_body(carry, xs):
-        if lora is None:
-            lp, kc, vc = xs
-            lw = None
-        else:
-            lp, kc, vc, lw = xs
-        h = carry
-        h, kc, vc = layer_fn(h, lp, kc, vc, lora=lw)
-        return h, (kc, vc)
-
-    xs = (params.layers, kv.k, kv.v) if lora is None else (
-        params.layers, kv.k, kv.v, lora
-    )
-    h, (k_new, v_new) = jax.lax.scan(scan_body, h, xs)
-    new_kv = KVCacheState(k=k_new, v=v_new)
+    k_new, v_new = [], []
+    for li, lp in enumerate(params.layers):
+        lw = None if lora is None else lora[li]
+        h, kc, vc = layer_fn(h, lp, kv.k[li], kv.v[li], lora=lw)
+        k_new.append(kc)
+        v_new.append(vc)
+    new_kv = KVCacheState(k=tuple(k_new), v=tuple(v_new))
 
     if preprocess_only:
         return None, new_kv

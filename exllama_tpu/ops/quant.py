@@ -67,8 +67,149 @@ def _q4_matmul_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernels
+#
+# Two members of one family, selected by M (the reference switches between a
+# custom GEMV kernel and reconstruct+cuBLAS at matmul_recons_thd the same way,
+# exllama_ext.cpp:217-239):
+#
+#   * ``gps`` (group-partial-sums) — the decode/small-M kernel. Per quant
+#     group g it computes the *raw* nibble dot p_g = x_g @ q_g on the MXU and
+#     applies the scale to the [M, PANEL] partial sum instead of to the
+#     [gs, PANEL] weight tile — per-OUTPUT math instead of per-WEIGHT math,
+#     which removes the f32 multiply/sub per weight that made the VPU the
+#     bottleneck at M=1. The zero-point term is exact:
+#         out[m,n] = Σ_g s[g,n]·(x_g·q_g)[m,n] − Σ_g (Σ_{k∈g} x[m,k])·zscale[g,n]
+#     and the second term is one tiny [M, G]@[G, PANEL] matmul seeded into the
+#     accumulator at k-step 0 (the reference's ``no_zero`` accumulate trick,
+#     q4_matmul.cu:78-82, turned inside the kernel). Measured ~900 GB/s
+#     effective on a 4096² GEMV on v5e — at the HBM roofline.
+#
+#   * ``deqw`` (dequantized-weights) — the prefill/large-M kernel: dequantize
+#     the [bk, PANEL] weight tile to bf16 once and do one MXU matmul per
+#     k-step. At large M the MXU dominates (measured ~130 TFLOP/s at M=2048
+#     on v5e); the per-weight dequant amortizes over M rows.
 # ---------------------------------------------------------------------------
+
+def _q4_gemv_kernel(
+    xs_ref,       # [bm, G]            per-group activation sums (f32)
+    x_ref,        # [bm, bk]           activation tile (bf16/f32)
+    qw_ref,       # [bk, LANE]         packed words (int32)
+    s_ref,        # [1, bk/gs, PANEL]  scales (f32)
+    zs_ref,       # [G, PANEL]         zscale panel (f32)
+    out_ref,      # [bm, PANEL]
+    acc_ref,      # [bm, PANEL] f32 scratch
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        # Zero-point correction for the whole K range, one small matmul.
+        acc_ref[:] = -jnp.dot(
+            xs_ref[:], zs_ref[:], preferred_element_type=jnp.float32
+        )
+
+    s = s_ref[0]  # [bk/gs, PANEL]
+    for g in range(block_k // groupsize):
+        sl = slice(g * groupsize, (g + 1) * groupsize)
+        w32 = qw_ref[sl, :]                               # [gs, LANE] int32
+        nibs = [(w32 >> (4 * i)) & 0xF for i in range(8)]
+        q = jnp.concatenate(nibs, axis=1).astype(jnp.bfloat16)  # [gs, PANEL]
+        p = jnp.dot(x_ref[:, sl], q, preferred_element_type=jnp.float32)
+        acc_ref[:] += p * s[g : g + 1, :]
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _choose_block_k_gemv(k: int, groupsize: int, preferred: int = 2048) -> int:
+    """K block for the gemv kernel: must divide K, align to quant groups,
+    and keep the x-tile lane dimension 128-aligned. Prefer ~2048 rows
+    (measured best on v5e: large enough to amortize grid steps, small
+    enough to pipeline DMA)."""
+    import math
+
+    step = math.lcm(groupsize, 128)
+    cands = [
+        bk
+        for bk in range(step, min(k, 6144) + 1, step)
+        if k % bk == 0
+    ]
+    if k <= 6144 and k % step == 0 and k not in cands:
+        cands.append(k)
+    if not cands:
+        raise ValueError(f"no valid gemv block_k for K={k}, gs={groupsize}")
+    return min(cands, key=lambda bk: abs(bk - preferred))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groupsize", "block_k", "out_dtype", "interpret"),
+)
+def _q4_matmul_pallas_gemv(
+    x2: jax.Array,       # [M, K] — M already padded to a block multiple
+    qweight: jax.Array,  # [K, N_pad/8]
+    scales: jax.Array,   # [K/gs, N_pad]
+    zscale: jax.Array,   # [K/gs, N_pad]
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+    interpret: bool,
+):
+    m, k = x2.shape
+    n_pad = qweight.shape[1] * 8
+    g = k // groupsize
+    bm = m  # decode shapes: one m-block
+    grid = (1, n_pad // PANEL, k // block_k)
+    gsz = block_k // groupsize
+    scales3 = scales.reshape(k // block_k, gsz, n_pad)
+    xs = jnp.sum(
+        x2.reshape(m, g, groupsize).astype(jnp.float32), axis=-1
+    )
+    kernel = functools.partial(
+        _q4_gemv_kernel,
+        groupsize=groupsize,
+        block_k=block_k,
+        out_dtype=out_dtype,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = (
+        k * n_pad // 2
+        + m * k * x2.dtype.itemsize
+        + 2 * (k // groupsize) * n_pad * 4
+        + m * n_pad * jnp.dtype(out_dtype).itemsize
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, g), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, block_k), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, LANE), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz, PANEL), lambda i, j, kk: (kk, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, PANEL), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, PANEL), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, PANEL), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(xs, x2, qweight, scales3, zscale)
+
 
 def _q4_matmul_kernel(
     x_ref,        # [bm, bk]           activation tile (bf16/f32)
@@ -199,12 +340,37 @@ def _q4_matmul_pallas_2d(
     )(x2, qweight, scales3, zscale3)
 
 
+# M at or below this runs the gps GEMV kernel; above it the deqw kernel.
+# Analogue of the reference's matmul_recons_thd (exllama_ext.cpp:217-239),
+# except both sides here are fused Pallas kernels.
+GEMV_MAX_M = 256
+
+
 def _q4_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool) -> jax.Array:
     *lead, k = x.shape
     m = 1
     for d in lead:
         m *= d
     x2 = x.reshape(m, k)
+
+    if m <= GEMV_MAX_M:
+        bm = _choose_block_m(m)
+        m_pad = -(-m // bm) * bm
+        if m_pad != m:
+            x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+        out = _q4_matmul_pallas_gemv(
+            x2,
+            qt.qweight,
+            qt.scales,
+            qt.zscale,
+            groupsize=qt.groupsize,
+            block_k=_choose_block_k_gemv(k, qt.groupsize),
+            out_dtype=jnp.dtype(x.dtype),
+            interpret=interpret,
+        )
+        out = out[:m, : qt.out_features]
+        return out.reshape(*lead, qt.out_features)
+
     bm = _choose_block_m(m)
     m_pad = -(-m // bm) * bm
     if m_pad != m:

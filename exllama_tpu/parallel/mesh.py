@@ -44,7 +44,7 @@ def make_mesh(
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def _quant_specs(qt: QuantTensor, shard: str, stacked: bool) -> QuantTensor:
+def _quant_specs(qt: QuantTensor, shard: str) -> QuantTensor:
     """PartitionSpecs for one QuantTensor. ``shard`` ∈ {'out', 'in', 'none'}.
 
     'out' shards output columns: qweight's word axis and scales' column axis.
@@ -52,19 +52,18 @@ def _quant_specs(qt: QuantTensor, shard: str, stacked: bool) -> QuantTensor:
     a group stay together because K-shards must be multiples of groupsize —
     callers validate via validate_tp()).
     """
-    lead = (None,) if stacked else ()
     if shard == "out":
-        qw = P(*lead, None, "tp")
-        sc = P(*lead, None, "tp")
-        xm = P(*lead, None)
+        qw = P(None, "tp")
+        sc = P(None, "tp")
+        xm = P(None)
     elif shard == "in":
-        qw = P(*lead, "tp", None)
-        sc = P(*lead, "tp", None)
-        xm = P(*lead, None)  # x_map values are global K indices; replicate
+        qw = P("tp", None)
+        sc = P("tp", None)
+        xm = P(None)  # x_map values are global K indices; replicate
     else:
-        qw = P(*lead, None, None)
-        sc = P(*lead, None, None)
-        xm = P(*lead, None)
+        qw = P(None, None)
+        sc = P(None, None)
+        xm = P(None)
     return QuantTensor(
         qweight=qw,
         scales=sc,
@@ -89,11 +88,10 @@ def _can_shard_in(qt: QuantTensor, tp: int) -> bool:
 
 
 def param_shardings(params, mesh: Mesh):
-    """ModelParams-shaped pytree of NamedShardings (params are stacked [L])."""
+    """ModelParams-shaped pytree of NamedShardings (layers = per-layer tuple)."""
     from exllama_tpu.models.llama import LayerParams, ModelParams
 
     tp = mesh.shape["tp"]
-    lp = params.layers
 
     def spec_for(qt: QuantTensor, want: str) -> QuantTensor:
         """Degrade to replication when the tensor can't split cleanly —
@@ -101,18 +99,21 @@ def param_shardings(params, mesh: Mesh):
         small matmul beats a broken layout; its KV output is still sliced
         per-shard by the cache's head sharding)."""
         ok = _can_shard_out(qt, tp) if want == "out" else _can_shard_in(qt, tp)
-        return _quant_specs(qt, want if ok else "none", True)
+        return _quant_specs(qt, want if ok else "none")
 
-    layer_specs = LayerParams(
-        input_norm=P(None, None),
-        post_norm=P(None, None),
-        q=spec_for(lp.q, "out"),
-        k=spec_for(lp.k, "out"),
-        v=spec_for(lp.v, "out"),
-        o=spec_for(lp.o, "in"),
-        gate=spec_for(lp.gate, "out"),
-        up=spec_for(lp.up, "out"),
-        down=spec_for(lp.down, "in"),
+    layer_specs = tuple(
+        LayerParams(
+            input_norm=P(None),
+            post_norm=P(None),
+            q=spec_for(lp.q, "out"),
+            k=spec_for(lp.k, "out"),
+            v=spec_for(lp.v, "out"),
+            o=spec_for(lp.o, "in"),
+            gate=spec_for(lp.gate, "out"),
+            up=spec_for(lp.up, "out"),
+            down=spec_for(lp.down, "in"),
+        )
+        for lp in params.layers
     )
     specs = ModelParams(
         embed=P(None, None),          # replicated: lookup stays local
@@ -136,8 +137,8 @@ def shard_params(params, mesh: Mesh):
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """[L, B, S, Hkv, D] — batch over dp, kv-heads over tp."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    """Per-layer [B, S, Hkv, D] — batch over dp, kv-heads over tp."""
+    return NamedSharding(mesh, P("dp", None, "tp", None))
 
 
 def shard_cache(cache, mesh: Mesh):
@@ -145,7 +146,7 @@ def shard_cache(cache, mesh: Mesh):
 
     sh = cache_sharding(mesh)
     cache.state = KVCacheState(
-        k=jax.device_put(cache.state.k, sh),
-        v=jax.device_put(cache.state.v, sh),
+        k=tuple(jax.device_put(x, sh) for x in cache.state.k),
+        v=tuple(jax.device_put(x, sh) for x in cache.state.v),
     )
     return cache

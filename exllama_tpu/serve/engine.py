@@ -135,23 +135,19 @@ def _install_slot(kv: KVCacheState, scratch: KVCacheState, slot,
                   *, copy_len: int, slot_s_max: int):
     """Copy scratch rows [0, copy_len) into batch row ``slot``."""
     z = jnp.zeros((), jnp.int32)
-    src_k = jax.lax.dynamic_slice(
-        scratch.k,
-        (z, z, z, z, z),
-        (scratch.k.shape[0], 1, copy_len) + scratch.k.shape[3:],
+
+    def install(dst, src):
+        s = jax.lax.dynamic_slice(
+            src, (z, z, z, z), (1, copy_len) + src.shape[2:]
+        )
+        return jax.lax.dynamic_update_slice(
+            dst, s.astype(dst.dtype), (slot, z, z, z)
+        )
+
+    return KVCacheState(
+        k=tuple(install(d, s) for d, s in zip(kv.k, scratch.k)),
+        v=tuple(install(d, s) for d, s in zip(kv.v, scratch.v)),
     )
-    src_v = jax.lax.dynamic_slice(
-        scratch.v,
-        (z, z, z, z, z),
-        (scratch.v.shape[0], 1, copy_len) + scratch.v.shape[3:],
-    )
-    k = jax.lax.dynamic_update_slice(
-        kv.k, src_k.astype(kv.k.dtype), (z, slot, z, z, z)
-    )
-    v = jax.lax.dynamic_update_slice(
-        kv.v, src_v.astype(kv.v.dtype), (z, slot, z, z, z)
-    )
-    return KVCacheState(k=k, v=v)
 
 
 class ContinuousBatchingEngine:

@@ -74,9 +74,9 @@ def test_nonzero_adapter_changes_output(tmp_path):
     model = tiny_model()
     cfgp, path = write_adapter(str(tmp_path), model, scale=0.1)
     lora = ExLlamaLora(model, cfgp, path)
-    assert lora.stacked.q is not None
-    assert lora.stacked.down is not None
-    assert lora.stacked.k is None  # not adapted
+    assert lora.stacked[0].q is not None
+    assert lora.stacked[0].down is not None
+    assert lora.stacked[0].k is None  # not adapted
     base = run(model)
     with_lora = run(model, lora=lora)
     assert np.max(np.abs(base - with_lora)) > 1e-3

@@ -52,12 +52,12 @@ def test_param_shardings_placement(setup):
     mesh = make_mesh(tp=2, dp=2)
     sh = param_shardings(params, mesh)
     # q (2048 cols → 2 panels) shards; k/v (1024 → 1 panel) replicate
-    assert sh.layers.q.qweight.spec == jax.sharding.PartitionSpec(None, None, "tp")
-    assert sh.layers.k.qweight.spec == jax.sharding.PartitionSpec(None, None, None)
-    assert sh.layers.o.qweight.spec == jax.sharding.PartitionSpec(None, "tp", None)
-    assert sh.layers.down.qweight.spec == jax.sharding.PartitionSpec(None, "tp", None)
+    assert sh.layers[0].q.qweight.spec == jax.sharding.PartitionSpec(None, "tp")
+    assert sh.layers[0].k.qweight.spec == jax.sharding.PartitionSpec(None, None)
+    assert sh.layers[0].o.qweight.spec == jax.sharding.PartitionSpec("tp", None)
+    assert sh.layers[0].down.qweight.spec == jax.sharding.PartitionSpec("tp", None)
     sharded = shard_params(params, mesh)
-    assert isinstance(sharded.layers.q.qweight.sharding, NamedSharding)
+    assert isinstance(sharded.layers[0].q.qweight.sharding, NamedSharding)
 
 
 def test_sharded_forward_matches_single_device(setup):
