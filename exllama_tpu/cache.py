@@ -3,15 +3,15 @@
 Re-design of the reference's ``ExLlamaCache`` (model.py:557-631): per-layer
 fp16 tensors with a single position cursor. Differences, all TPU-motivated:
 
-  * Each layer's cache is its own [B, S_max, Hkv, D] array (a tuple over
+  * Each layer's cache is its own [B, Hkv, S_max, D] array (a tuple over
     layers). Keeping layers as separate buffers lets the unrolled forward
     pass feed each Pallas kernel its own operand with no per-layer
     slice-materialization: a stacked [L, ...] array + lax.scan forced XLA to
     copy every layer's 33 MB KV slice (and 100 MB weight slice) in and out
     per token — measured 3x the whole decode budget on v5e.
-  * Layout is sequence-major ([B, S, Hkv, D] instead of the reference's
-    [B, Hkv, S, D]): new rows are one contiguous dynamic-update-slice and
-    decode attention streams the cache linearly.
+  * Layout is head-major [B, Hkv, S_max, D] (like the reference): each kv
+    head's sequence strip is contiguous, so the flash-attention kernel's
+    per-head KV blocks are unit-stride DMAs.
   * dtype is bfloat16 (TPU-native) instead of fp16.
   * All mutation is functional; under jit with donated buffers XLA updates
     in place. ``current_seq_len`` lives on the host (the generator owns the
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 class KVCacheState:
     """Device half of the cache: per-layer KV arrays.
 
-    ``k`` and ``v`` are tuples (length L) of [B, S_max, Hkv, D] arrays.
+    ``k`` and ``v`` are tuples (length L) of [B, Hkv, S_max, D] arrays.
     """
 
     k: tuple
@@ -91,7 +91,7 @@ class ExLlamaCache:
         self.max_seq_len = shape[2]
         self.shape = shape
         self.dtype = dtype
-        layer_shape = shape[1:]
+        layer_shape = (shape[1], shape[3], shape[2], shape[4])  # B,Hkv,S,D
         self.state = KVCacheState(
             k=tuple(jnp.zeros(layer_shape, dtype) for _ in range(shape[0])),
             v=tuple(jnp.zeros(layer_shape, dtype) for _ in range(shape[0])),
@@ -111,7 +111,7 @@ class ExLlamaCache:
         """Drop position 0, shift everything left by one (beam bookkeeping,
         reference model.py:601-608)."""
         self.state = _map_state(
-            lambda x: jnp.roll(x, -1, axis=1), self.state
+            lambda x: jnp.roll(x, -1, axis=2), self.state
         )
         self.current_seq_len -= 1
 
@@ -137,17 +137,17 @@ class ExLlamaCache:
         def copy_layer(src, dst):
             s = jax.lax.dynamic_slice(
                 src,
-                (from_row, from_column, 0, 0),
-                (from_rows, from_columns, hkv, d),
+                (from_row, 0, from_column, 0),
+                (from_rows, hkv, from_columns, d),
             )
             if from_rows == 1 and to_rows > 1:
                 s = jnp.broadcast_to(s, (to_rows,) + s.shape[1:])
             if from_columns == 1 and to_columns > 1:
                 s = jnp.broadcast_to(
-                    s, s.shape[:1] + (to_columns,) + s.shape[2:]
+                    s, s.shape[:2] + (to_columns,) + s.shape[3:]
                 )
             return jax.lax.dynamic_update_slice(
-                dst, s.astype(dst.dtype), (to_row, to_column, 0, 0)
+                dst, s.astype(dst.dtype), (to_row, 0, to_column, 0)
             )
 
         target.state = KVCacheState(

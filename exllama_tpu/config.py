@@ -29,6 +29,7 @@ class TuningParams:
     # jnp.dot (the analogue of the reference's reconstruct+cuBLAS path,
     # exllama_ext.cpp:217-239); 'auto' picks per-backend.
     matmul_impl: str = "auto"
+    attn_impl: str = "auto"       # "flash" (Pallas) | "xla" | "auto"
     # Rows at/above which the Pallas kernel switches from the GEMV tiling to
     # the MXU prefill tiling (both are the same kernel family; this only
     # changes block shapes).
@@ -36,9 +37,6 @@ class TuningParams:
     # K-dimension tile for the q4 matmul kernel. Must be a multiple of the
     # quantization groupsize.
     q4_block_k: int = 512
-    # attention implementation: 'xla' (masked sdpa built from einsums) or
-    # 'pallas' (flash-attention kernel).
-    attn_impl: str = "xla"
     # Decode-time attention length bucketing: round the attended KV length up
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).

@@ -83,7 +83,7 @@ def stack_layers(layers: list[LayerParams]) -> tuple:
 def _decoder_layer(
     h: jax.Array,               # [B, T, hidden]
     lp: LayerParams,            # single layer
-    kc: jax.Array,              # [B, S, Hkv, D]
+    kc: jax.Array,              # [B, Hkv, S, D]
     vc: jax.Array,
     *,
     cfg_heads: int,
@@ -97,6 +97,7 @@ def _decoder_layer(
     attend_len: int,
     input_mask: Optional[jax.Array],
     matmul_impl: str,
+    attn_impl: str = "auto",
     lora=None,
 ):
     b, t, hidden = h.shape
@@ -115,7 +116,8 @@ def _decoder_layer(
     q = apply_rope(q, rope_sin, rope_cos, positions)
     k = apply_rope(k, rope_sin, rope_cos, positions)
     kc, vc = update_kv_cache(kc, vc, k, v, past_len)
-    attn = attend(q, kc, vc, past_len, attend_len, input_mask)
+    attn = attend(q, kc, vc, past_len, attend_len, input_mask,
+                  impl=attn_impl)
     h = h + proj(attn.reshape(b, t, cfg_heads * cfg_head_dim), lp.o, "o")
 
     # --- MLP (reference ExLlamaMLP.forward, model.py:266-273)
@@ -138,6 +140,7 @@ def _decoder_layer(
         "head_dim",
         "eps",
         "matmul_impl",
+        "attn_impl",
     ),
     donate_argnames=("kv",),
 )
@@ -157,6 +160,7 @@ def forward_chunk(
     head_dim: int,
     eps: float,
     matmul_impl: str,
+    attn_impl: str = "auto",
 ):
     """One forward chunk over all layers. Returns (logits|None, new KV).
 
@@ -187,6 +191,7 @@ def forward_chunk(
         attend_len=attend_len,
         input_mask=input_mask,
         matmul_impl=matmul_impl,
+        attn_impl=attn_impl,
     )
 
     k_new, v_new = [], []
@@ -250,6 +255,12 @@ class ExLlama:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         return impl
 
+    def _attn_impl(self) -> str:
+        impl = self.config.tuning.attn_impl
+        if impl == "auto":
+            impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        return impl
+
     def num_params_bytes(self) -> int:
         return sum(
             x.nbytes for x in jax.tree.leaves(self.params)
@@ -305,6 +316,7 @@ class ExLlama:
                 head_dim=cfg.head_dim,
                 eps=cfg.rms_norm_eps,
                 matmul_impl=self._matmul_impl(),
+                attn_impl=self._attn_impl(),
             )
             cache.state = new_state
             cache.current_seq_len += chunk

@@ -2,15 +2,22 @@
 
 TPU-native re-design of the reference's attention paths (model.py:295-502).
 The reference picks between flash-attn-2, explicit matmul-softmax-matmul, and
-torch SDPA by row-count thresholds; here there is one masked-attention
-formulation built from einsums that XLA fuses, with GQA handled by reshaping
-q to [B, T, Hkv, G, D] and broadcasting against the KV heads — the KV tensor
-is never materialized per query head (the reference materializes repeat_kv,
-model.py:310-319; on TPU that would waste HBM bandwidth).
+torch SDPA by row-count thresholds; here there are two implementations of one
+semantics:
 
-The KV cache layout is [B, S_max, Hkv, D] (sequence-major: new rows from a
-decode/prefill step form a contiguous dynamic-update-slice, and attention
-reads stream linearly over HBM). ``attend_len`` is a static bound on how much
+  * ``flash`` — a fused Pallas kernel (the default on TPU): online-softmax
+    tiling over the KV sequence, so the [T, S] score matrix never
+    materializes in HBM; handles chunked-prefill position offsets
+    (query t sits at absolute position past_len + t), per-batch-row
+    cursors (continuous-batching slots), left-padding masks, and GQA by
+    blocking queries per kv-head (the KV tensor is never expanded to
+    query heads — the reference materializes repeat_kv, model.py:310-319).
+  * ``xla`` — an einsum formulation with an explicit additive mask; the
+    readable oracle the kernel is tested against, and the CPU path.
+
+The KV cache layout is [B, Hkv, S_max, D] (head-major like the reference):
+each kv head's sequence strip is contiguous, so the flash kernel's per-head
+KV blocks are unit-stride DMAs. ``attend_len`` is a static bound on how much
 of the cache is read — the host rounds the live length up to a bucket
 (TuningParams.attn_len_bucket) so decode doesn't stream the whole max_seq_len
 cache on short contexts; masking handles the remainder exactly.
@@ -18,16 +25,20 @@ cache on short contexts; masking handles the remainder exactly.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9  # additive mask value (reference uses fp16 -65504, model.py:1014)
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def update_kv_cache(
-    k_cache: jax.Array,   # [B, S_max, Hkv, D]
+    k_cache: jax.Array,   # [B, Hkv, S_max, D]
     v_cache: jax.Array,
     new_k: jax.Array,     # [B, T, Hkv, D]
     new_v: jax.Array,
@@ -40,54 +51,56 @@ def update_kv_cache(
     buffers XLA performs this in place. A [B]-shaped past_len writes each
     batch row at its own offset (continuous-batching slots).
     """
+    nk = jnp.swapaxes(new_k, 1, 2)  # [B, Hkv, T, D]
+    nv = jnp.swapaxes(new_v, 1, 2)
     if past_len.ndim == 1:
-        def row(kc, vc, nk, nv, p):
+        def row(kc, vc, k1, v1, p):
             z = jnp.zeros((), jnp.int32)
             kc = jax.lax.dynamic_update_slice(
-                kc, nk.astype(kc.dtype), (p.astype(jnp.int32), z, z)
+                kc, k1.astype(kc.dtype), (z, p.astype(jnp.int32), z)
             )
             vc = jax.lax.dynamic_update_slice(
-                vc, nv.astype(vc.dtype), (p.astype(jnp.int32), z, z)
+                vc, v1.astype(vc.dtype), (z, p.astype(jnp.int32), z)
             )
             return kc, vc
 
-        return jax.vmap(row)(k_cache, v_cache, new_k, new_v, past_len)
+        return jax.vmap(row)(k_cache, v_cache, nk, nv, past_len)
 
-    zeros = (jnp.zeros((), jnp.int32),) * 2
-    start = (jnp.zeros((), jnp.int32), past_len.astype(jnp.int32)) + zeros
-    k_cache = jax.lax.dynamic_update_slice(k_cache, new_k.astype(k_cache.dtype), start)
-    v_cache = jax.lax.dynamic_update_slice(v_cache, new_v.astype(v_cache.dtype), start)
+    z = jnp.zeros((), jnp.int32)
+    start = (z, z, past_len.astype(jnp.int32), z)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, nk.astype(k_cache.dtype), start
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, nv.astype(v_cache.dtype), start
+    )
     return k_cache, v_cache
 
 
-def attend(
+# ---------------------------------------------------------------------------
+# XLA oracle path
+# ---------------------------------------------------------------------------
+
+def attend_xla(
     q: jax.Array,          # [B, T, H, D]
-    k_cache: jax.Array,    # [B, S_max, Hkv, D]
-    v_cache: jax.Array,    # [B, S_max, Hkv, D]
-    past_len: jax.Array,   # scalar or [B]: queries are at positions past_len+t
-    attend_len: int,       # static: read cache[:, :attend_len]
+    k_cache: jax.Array,    # [B, Hkv, S_max, D]
+    v_cache: jax.Array,
+    past_len: jax.Array,   # scalar or [B]
+    attend_len: int,
     input_mask: Optional[jax.Array] = None,  # [B, S_max] bool, True = valid
 ) -> jax.Array:
-    """Masked causal GQA attention. Returns [B, T, H, D] in q.dtype.
-
-    Causality: query t attends to cache position s iff s <= past_len + t
-    (and s < attend_len, and input_mask[b, s] if given — the reference's
-    left-padding mask for batched generation, model.py:1014-1033).
-    A [B]-shaped past_len gives each row its own cursor (continuous
-    batching slots).
-    """
     b, t, h, d = q.shape
-    hkv = k_cache.shape[2]
+    hkv = k_cache.shape[1]
     g = h // hkv
 
-    k = k_cache[:, :attend_len]
-    v = v_cache[:, :attend_len]
+    k = k_cache[:, :, :attend_len]
+    v = v_cache[:, :, :attend_len]
 
     qf = q.reshape(b, t, hkv, g, d)
     scale = 1.0 / (d ** 0.5)
     # scores [B, Hkv, G, T, S]
     scores = jnp.einsum(
-        "bthgd,bshd->bhgts", qf, k, preferred_element_type=jnp.float32
+        "bthgd,bhsd->bhgts", qf, k, preferred_element_type=jnp.float32
     )
     scores = scores * scale
 
@@ -107,5 +120,254 @@ def attend(
     scores = jnp.where(mask, scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhgts,bshd->bthgd", probs, v)
+    out = jnp.einsum("bhgts,bhsd->bthgd", probs, v)
     return out.reshape(b, t, h, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Flash kernel (Pallas)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(
+    past_ref,    # SMEM [B, 1] int32
+    q_ref,       # [1, 1, R, D]    R = G * bq query rows for this kv head
+    k_ref,       # [1, 1, bk, D]
+    v_ref,       # [1, 1, bk, D]
+    bias_ref,    # [1, 1, bk] f32 additive padding bias (0 / NEG) or None
+    o_ref,       # [1, 1, R, D]
+    m_scr,       # [R, 128] f32
+    l_scr,       # [R, 128] f32
+    acc_scr,     # [R, D] f32
+    *,
+    g: int,
+    bq: int,
+    bk: int,
+    t_total: int,
+    scale: float,
+    have_bias: bool,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    si = pl.program_id(3)
+    r = q_ref.shape[2]
+
+    @pl.when(si == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _MASK_VALUE)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    past = past_ref[b, 0]
+    # query row r ↔ (t, g-slot): t = qi*bq + r // g; rows beyond T mask out
+    t_of_row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (r, bk), 0) // g
+    # skip KV blocks fully above the causal diagonal of this q tile
+    t_max = qi * bq + (r - 1) // g
+
+    @pl.when(si * bk <= past + t_max)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, bk]
+        s = s * scale
+        s_pos = si * bk + jax.lax.broadcasted_iota(jnp.int32, (r, bk), 1)
+        ok = (s_pos <= past + t_of_row) & (t_of_row < t_total)
+        s = jnp.where(ok, s, _MASK_VALUE)
+        if have_bias:
+            s = s + bias_ref[0, 0][None, :]
+
+        m_prev = m_scr[:, :1]                            # [R, 1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)       # [R, 1]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)                 # [R, 1]
+        p = jnp.exp(s - m_next)                          # [R, bk]
+        l_next = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+        v = v_ref[0, 0]
+        o_curr = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # [R, D]
+        acc_scr[:] = acc_scr[:] * alpha + o_curr
+
+    @pl.when(si == pl.num_programs(3) - 1)
+    def _():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("attend_len", "t_total", "g", "interpret"),
+)
+def _attend_flash_padded(
+    qr: jax.Array,        # [B, Hkv, R_total, D] query rows grouped by kv head
+    k_cache: jax.Array,   # [B, Hkv, S_max, D]
+    v_cache: jax.Array,
+    past_b: jax.Array,    # [B, 1] int32
+    bias: Optional[jax.Array],  # [B, S_max] f32 or None
+    *,
+    attend_len: int,
+    t_total: int,
+    g: int,
+    interpret: bool,
+):
+    b, hkv, r_total, d = qr.shape
+    # kv block: largest divisor of attend_len that is lane-legal for the
+    # bias block ((1, bk) blocks need bk % 128 == 0 unless bk == attend_len)
+    bk = attend_len
+    for cand in (512, 384, 256, 128):
+        if attend_len % cand == 0:
+            bk = cand
+            break
+    assert attend_len % bk == 0
+    # q rows per tile: all rows at decode; 256-row tiles at prefill
+    rt = r_total if r_total <= 256 else 256
+    while r_total % rt != 0 or rt % g != 0:
+        rt -= g
+    bq = rt // g
+    grid = (b, hkv, r_total // rt, attend_len // bk)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        g=g,
+        bq=bq,
+        bk=bk,
+        t_total=t_total,
+        scale=1.0 / (d ** 0.5),
+        have_bias=bias is not None,
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1, rt, d), lambda b, h, qi, si, *_: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d), lambda b, h, qi, si, *_: (b, h, si, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d), lambda b, h, qi, si, *_: (b, h, si, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qr, k_cache, v_cache]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, h, qi, si, *_: (b, 0, si),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+
+    def kern(past_ref, q_ref, k_ref, v_ref, *rest):
+        if bias is not None:
+            bias_ref, o_ref, m, l, acc = rest
+        else:
+            (o_ref, m, l, acc) = rest
+            bias_ref = None
+        return kernel(past_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                      m, l, acc)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, rt, d), lambda b, h, qi, si, *_: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rt, 128), jnp.float32),
+                pltpu.VMEM((rt, 128), jnp.float32),
+                pltpu.VMEM((rt, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, r_total, d), qr.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(past_b, *args)
+
+
+def attend_flash(
+    q: jax.Array,          # [B, T, H, D]
+    k_cache: jax.Array,    # [B, Hkv, S_max, D]
+    v_cache: jax.Array,
+    past_len: jax.Array,
+    attend_len: int,
+    input_mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    b, t, h, d = q.shape
+    hkv = k_cache.shape[1]
+    g = h // hkv
+
+    # group query rows by kv head: row index = t*g + g_slot
+    qr = q.reshape(b, t, hkv, g, d).transpose(0, 2, 1, 3, 4)
+    qr = qr.reshape(b, hkv, t * g, d)
+    r_total = t * g
+    pad_r = 0
+    if r_total < 8:
+        pad_r = 8 - r_total
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, pad_r), (0, 0)))
+        r_total = 8
+
+    past_b = jnp.broadcast_to(
+        past_len.astype(jnp.int32).reshape(-1, 1), (b, 1)
+    )
+    bias = None
+    if input_mask is not None:
+        bias = jnp.where(
+            input_mask[:, :attend_len], jnp.float32(0), jnp.float32(NEG_INF)
+        )[:, None, :]  # [B, 1, S] — sublane-legal blocks for any B
+
+    out = _attend_flash_padded(
+        qr, k_cache, v_cache, past_b, bias,
+        attend_len=attend_len, t_total=t, g=g, interpret=interpret,
+    )
+    out = out[:, :, : t * g, :]
+    out = out.reshape(b, hkv, t, g, d).transpose(0, 2, 1, 3, 4)
+    return out.reshape(b, t, h, d)
+
+
+def attend(
+    q: jax.Array,          # [B, T, H, D]
+    k_cache: jax.Array,    # [B, Hkv, S_max, D]
+    v_cache: jax.Array,    # [B, Hkv, S_max, D]
+    past_len: jax.Array,   # scalar or [B]: queries are at positions past_len+t
+    attend_len: int,       # static: read cache[:, :, :attend_len]
+    input_mask: Optional[jax.Array] = None,  # [B, S_max] bool, True = valid
+    impl: str = "auto",
+) -> jax.Array:
+    """Masked causal GQA attention. Returns [B, T, H, D] in q.dtype.
+
+    Causality: query t attends to cache position s iff s <= past_len + t
+    (and s < attend_len, and input_mask[b, s] if given — the reference's
+    left-padding mask for batched generation, model.py:1014-1033).
+    A [B]-shaped past_len gives each row its own cursor (continuous
+    batching slots).
+    """
+    if impl == "auto":
+        # flash kernel assumes D == lane width; odd head dims (e.g. 100 on
+        # OpenLlama-3B) take the einsum path
+        flash_ok = q.shape[-1] == 128
+        impl = (
+            "flash"
+            if jax.default_backend() == "tpu" and flash_ok
+            else "xla"
+        )
+    if impl == "xla":
+        return attend_xla(
+            q, k_cache, v_cache, past_len, attend_len, input_mask
+        )
+    if impl == "flash":
+        return attend_flash(
+            q, k_cache, v_cache, past_len, attend_len, input_mask
+        )
+    if impl == "flash_interpret":
+        return attend_flash(
+            q, k_cache, v_cache, past_len, attend_len, input_mask,
+            interpret=True,
+        )
+    raise ValueError(f"unknown attention impl: {impl}")

@@ -137,8 +137,8 @@ def shard_params(params, mesh: Mesh):
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """Per-layer [B, S, Hkv, D] — batch over dp, kv-heads over tp."""
-    return NamedSharding(mesh, P("dp", None, "tp", None))
+    """Per-layer [B, Hkv, S, D] — batch over dp, kv-heads over tp."""
+    return NamedSharding(mesh, P("dp", "tp", None, None))
 
 
 def shard_cache(cache, mesh: Mesh):

@@ -6,7 +6,7 @@ batch support is static left-padded batches). This subsystem is the serving
 layer BASELINE.json asks for:
 
   * the KV cache is a fixed pool of ``max_slots`` slots
-    ([L, slots, S_max, Hkv, D]); each slot has its own position cursor, so
+    (per-layer [slots, Hkv, S_max, D]); each slot has its own position cursor, so
     sequences of different lengths decode together in one batched step;
   * one jitted decode step advances every active slot (per-slot RoPE
     positions, per-slot causal masking, per-slot sampler settings — all
@@ -138,7 +138,7 @@ def _install_slot(kv: KVCacheState, scratch: KVCacheState, slot,
 
     def install(dst, src):
         s = jax.lax.dynamic_slice(
-            src, (z, z, z, z), (1, copy_len) + src.shape[2:]
+            src, (z, z, z, z), (1, src.shape[1], copy_len, src.shape[3])
         )
         return jax.lax.dynamic_update_slice(
             dst, s.astype(dst.dtype), (slot, z, z, z)

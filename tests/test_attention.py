@@ -1,0 +1,83 @@
+"""Flash-attention kernel vs the XLA oracle (interpret mode on CPU).
+
+The kernel and the einsum path implement one semantics (causal with
+chunked-prefill offset, per-row cursors, left-pad masks, GQA); this is the
+dual-path cross-validation the reference uses for its matmul kernels
+(test_benchmark_inference.py:239-246), applied to attention.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from exllama_tpu.ops.attention import attend_flash, attend_xla, update_kv_cache
+
+
+def make_case(b, t, h, hkv, d, s_max, past, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((b, hkv, s_max, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((b, hkv, s_max, d)), jnp.bfloat16)
+    return q, kc, vc
+
+
+@pytest.mark.parametrize(
+    "b,t,h,hkv,past,attend_len",
+    [
+        (1, 1, 4, 4, 37, 64),     # MHA decode
+        (1, 1, 8, 2, 37, 64),     # GQA decode
+        (1, 16, 4, 2, 5, 64),     # chunked prefill with offset
+        (2, 1, 4, 4, 30, 64),     # batch decode
+        (1, 64, 4, 4, 0, 64),     # full prefill
+    ],
+)
+def test_flash_matches_xla(b, t, h, hkv, past, attend_len):
+    d, s_max = 128, 64
+    q, kc, vc = make_case(b, t, h, hkv, d, s_max, past)
+    pl_ = jnp.int32(past)
+    ref = np.asarray(attend_xla(q, kc, vc, pl_, attend_len), np.float32)
+    got = np.asarray(
+        attend_flash(q, kc, vc, pl_, attend_len, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_flash_per_row_past_and_mask():
+    b, t, h, hkv, d, s_max = 3, 1, 4, 2, 128, 64
+    q, kc, vc = make_case(b, t, h, hkv, d, s_max, 0, seed=7)
+    past = jnp.asarray([3, 17, 40], jnp.int32)
+    mask = np.ones((b, s_max), bool)
+    mask[0, :2] = False   # left padding on row 0
+    mask[2, :10] = False
+    mask = jnp.asarray(mask)
+    ref = np.asarray(attend_xla(q, kc, vc, past, 64, mask), np.float32)
+    got = np.asarray(
+        attend_flash(q, kc, vc, past, 64, mask, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_update_kv_cache_layout():
+    b, hkv, s, d, t = 2, 2, 32, 128, 4
+    kc = jnp.zeros((b, hkv, s, d), jnp.bfloat16)
+    vc = jnp.zeros((b, hkv, s, d), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    nk = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.bfloat16)
+    nv = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.bfloat16)
+    kc2, vc2 = update_kv_cache(kc, vc, nk, nv, jnp.int32(5))
+    np.testing.assert_array_equal(
+        np.asarray(kc2[:, :, 5:9], np.float32),
+        np.asarray(jnp.swapaxes(nk, 1, 2), np.float32),
+    )
+    # per-row cursors
+    kc3, vc3 = update_kv_cache(
+        kc, vc, nk, nv, jnp.asarray([2, 9], jnp.int32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kc3[0, :, 2:6], np.float32),
+        np.asarray(jnp.swapaxes(nk, 1, 2)[0], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vc3[1, :, 9:13], np.float32),
+        np.asarray(jnp.swapaxes(nv, 1, 2)[1], np.float32),
+    )
