@@ -108,13 +108,68 @@ def main():
         times.append(time.perf_counter() - t0)
     decode_ts = decode_len / min(times)
 
+    # ---- "best" decode: empty context (reference README.md:154-156)
+    cache.current_seq_len = 0
+    step_best = functools.partial(
+        forward_chunk,
+        attend_len=256,
+        last_token_only=True,
+        preprocess_only=False,
+        heads=cfg.num_attention_heads,
+        kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        eps=cfg.rms_norm_eps,
+        matmul_impl=model._matmul_impl(),
+        attn_impl=model._attn_impl(),
+    )
+
+    @jax.jit
+    def decode_best(params, kv, tok, past_len):
+        def body(i, carry):
+            kv, tok, pos = carry
+            logits, kv = step_best(params, kv, tok, pos, None, None)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1)[:, None].astype(
+                jnp.int32
+            )
+            return kv, tok, pos + 1
+        kv, tok, pos = jax.lax.fori_loop(
+            0, decode_len, body, (kv, tok, past_len)
+        )
+        return kv, tok
+
+    kvb, tok = decode_best(model.params, kv, tok0, jnp.int32(1))
+    sync(tok)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kvb, tok = decode_best(model.params, kvb, tok0, jnp.int32(1))
+        sync(tok)
+        times.append(time.perf_counter() - t0)
+    best_ts = decode_len / min(times)
+
+    # HBM-roofline framing: bytes per decode token at full context over the
+    # measured stream bandwidth; the reference runs 64% of ITS roofline
+    # (140 t/s * 4.6GB/token / 1008 GB/s on a 4090) — per-chip efficiency is
+    # the hardware-honest comparison across accelerators.
+    hkv = cfg.num_key_value_heads
+    bytes_per_tok = (
+        model.num_params_bytes()
+        - cfg.vocab_size * cfg.hidden_size * 2  # embed not streamed
+        + 2 * cfg.num_hidden_layers * cfg.max_seq_len * hkv
+        * cfg.head_dim * 2
+    )
+    hbm_gbps = 740.0  # measured v5e stream bandwidth (docs/PERFORMANCE.md)
+    roofline_ts = hbm_gbps * 1e9 / bytes_per_tok
     vs = decode_ts / 140.0
     print(json.dumps({
         "metric": "decode_tok_s_llama7b_q4_worst_ctx2048",
         "value": round(decode_ts, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 3),
+        "best_decode_tok_s": round(best_ts, 2),
         "prompt_tok_s": round(prompt_ts, 1),
+        "roofline_tok_s": round(roofline_ts, 1),
+        "roofline_frac": round(decode_ts / roofline_ts, 3),
         "backend": backend,
         "layers": layers,
         "note": "synthetic 7B g128; baseline 140 tok/s = reference 4090 worst-decode (BASELINE.md)",

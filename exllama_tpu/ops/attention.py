@@ -216,10 +216,15 @@ def _attend_flash_padded(
     interpret: bool,
 ):
     b, hkv, r_total, d = qr.shape
-    # kv block: largest divisor of attend_len that is lane-legal for the
-    # bias block ((1, bk) blocks need bk % 128 == 0 unless bk == attend_len)
+    # kv block: lane-legal divisors of attend_len (bk % 128 == 0 unless
+    # bk == attend_len). Decode (few query rows) wants the largest block —
+    # one grid step per kv head streams its whole strip at HBM speed
+    # (measured 688 GB/s at bk=2048 vs 407 at bk=512 on v5e); prefill wants
+    # moderate blocks so causal tile-skipping stays effective.
+    cands = (2048, 1024, 512, 384, 256, 128) if r_total <= 32 else (
+        512, 384, 256, 128)
     bk = attend_len
-    for cand in (512, 384, 256, 128):
+    for cand in cands:
         if attend_len % cand == 0:
             bk = cand
             break

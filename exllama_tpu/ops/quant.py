@@ -92,11 +92,10 @@ def _q4_matmul_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _q4_gemv_kernel(
-    xs_ref,       # [bm, G]            per-group activation sums (f32)
     x_ref,        # [bm, bk]           activation tile (bf16/f32)
     qw_ref,       # [bk, LANE]         packed words (int32)
     s_ref,        # [1, bk/gs, PANEL]  scales (f32)
-    zs_ref,       # [G, PANEL]         zscale panel (f32)
+    zs_ref,       # [1, bk/gs, PANEL]  zscale (f32)
     out_ref,      # [bm, PANEL]
     acc_ref,      # [bm, PANEL] f32 scratch
     *,
@@ -108,19 +107,20 @@ def _q4_gemv_kernel(
 
     @pl.when(k_idx == 0)
     def _():
-        # Zero-point correction for the whole K range, one small matmul.
-        acc_ref[:] = -jnp.dot(
-            xs_ref[:], zs_ref[:], preferred_element_type=jnp.float32
-        )
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s = s_ref[0]  # [bk/gs, PANEL]
+    s = s_ref[0]   # [bk/gs, PANEL]
+    zs = zs_ref[0]
     for g in range(block_k // groupsize):
         sl = slice(g * groupsize, (g + 1) * groupsize)
         w32 = qw_ref[sl, :]                               # [gs, LANE] int32
         nibs = [(w32 >> (4 * i)) & 0xF for i in range(8)]
         q = jnp.concatenate(nibs, axis=1).astype(jnp.bfloat16)  # [gs, PANEL]
-        p = jnp.dot(x_ref[:, sl], q, preferred_element_type=jnp.float32)
-        acc_ref[:] += p * s[g : g + 1, :]
+        xg = x_ref[:, sl]
+        p = jnp.dot(xg, q, preferred_element_type=jnp.float32)
+        # zero-point term: (Σ_k x) · zscale per group — per-output math
+        xsg = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[:] += p * s[g : g + 1, :] - xsg * zs[g : g + 1, :]
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
@@ -136,9 +136,7 @@ def _gemv_vmem_bytes(bk: int, bm: int, groupsize: int, g_total: int) -> int:
     return (
         bk * LANE * 4 * 2            # qweight block, int32, 2 buffers
         + bm * bk * 2 * 2            # x block, bf16, 2 buffers
-        + (bk // groupsize) * PANEL * 4 * 2   # scales block
-        + g_total * PANEL * 4        # zscale panel (revisited, 1 buffer)
-        + bm * g_total * 4           # xs
+        + (bk // groupsize) * PANEL * 4 * 4   # scales + zscale blocks
         + bm * PANEL * 4             # f32 accumulator
         + bm * PANEL * 2 * 2         # out block
     )
@@ -182,14 +180,11 @@ def _q4_matmul_pallas_gemv(
 ):
     m, k = x2.shape
     n_pad = qweight.shape[1] * 8
-    g = k // groupsize
     bm = m  # decode shapes: one m-block
     grid = (1, n_pad // PANEL, k // block_k)
     gsz = block_k // groupsize
     scales3 = scales.reshape(k // block_k, gsz, n_pad)
-    xs = jnp.sum(
-        x2.reshape(m, g, groupsize).astype(jnp.float32), axis=-1
-    )
+    zscale3 = zscale.reshape(k // block_k, gsz, n_pad)
     kernel = functools.partial(
         _q4_gemv_kernel,
         groupsize=groupsize,
@@ -207,15 +202,13 @@ def _q4_matmul_pallas_gemv(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, g), lambda i, j, kk: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, block_k), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, LANE), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gsz, PANEL), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, PANEL), lambda i, j, kk: (0, j),
+            pl.BlockSpec((1, gsz, PANEL), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, PANEL), lambda i, j, kk: (i, j),
@@ -229,7 +222,7 @@ def _q4_matmul_pallas_gemv(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xs, x2, qweight, scales3, zscale)
+    )(x2, qweight, scales3, zscale3)
 
 
 def _q4_matmul_kernel(
