@@ -80,7 +80,7 @@ def main():
         matmul_impl=model._matmul_impl(),
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnames=("kv",))
     def decode_n(params, kv, tok, past_len):
         def body(i, carry):
             kv, tok, pos = carry
@@ -96,7 +96,8 @@ def main():
 
     tok0 = jnp.asarray([[1]], jnp.int32)
     past = jnp.int32(cache.current_seq_len)
-    kv, tok = decode_n(model.params, cache.state, tok0, past)  # compile+run
+    kv = cache.state
+    kv, tok = decode_n(model.params, kv, tok0, past)  # compile+run
     sync(tok)
 
     # timed runs (reset cache cursor; KV contents don't affect timing)
@@ -123,7 +124,7 @@ def main():
         attn_impl=model._attn_impl(),
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnames=("kv",))
     def decode_best(params, kv, tok, past_len):
         def body(i, carry):
             kv, tok, pos = carry
