@@ -120,6 +120,38 @@ def run_perf(model, cache, args):
     print(f" ** Device memory in use: {mem_report() / 1024**2:,.2f} MB")
 
 
+def run_streams(model, args):
+    """Aggregate throughput with N concurrent streams through the
+    continuous-batching engine (the reference's `-cs` sweep,
+    sh/test_benchmark_perf.sh — which it implements with a batch loop;
+    here it exercises the real serving engine)."""
+    import time as _time
+
+    from exllama_tpu.serve.engine import ContinuousBatchingEngine
+
+    cfg = model.config
+    n = args.streams
+    eng = ContinuousBatchingEngine(
+        model, tokenizer=_dummy_tok(cfg), max_slots=n,
+        attn_bucket=256,
+    )
+    rng = np.random.default_rng(0)
+    new_tokens = 64
+    for i in range(n):
+        plen = int(rng.integers(32, 128))
+        prompt = rng.integers(0, cfg.vocab_size, size=(plen,)).astype(np.int32)
+        eng.submit(prompt, max_new_tokens=new_tokens, stop_tokens=(-1,))
+    # warmup/compile step
+    eng.step()
+    t0 = _time.perf_counter()
+    produced = 0
+    while eng.has_work():
+        produced += len(eng.step())
+    dt = _time.perf_counter() - t0
+    print(f" ** Aggregate: {produced} tokens over {n} streams in {dt:.2f}s "
+          f"= {produced / dt:.1f} tok/s")
+
+
 def _dummy_tok(cfg):
     from exllama_tpu.tokenizer import FakeTokenizer
 
@@ -201,6 +233,9 @@ def main():
                         help="use a fabricated checkpoint of this size")
     parser.add_argument("--groupsize", type=int, default=128)
     parser.add_argument("--act_order", action="store_true")
+    parser.add_argument("-cs", "--streams", type=int, default=0,
+                        help="aggregate throughput over N concurrent "
+                             "streams via the continuous-batching engine")
     args = parser.parse_args()
 
     if args.synthetic:
@@ -215,6 +250,8 @@ def main():
     cache = ExLlamaCache(model)
     if args.perf:
         run_perf(model, cache, args)
+    if args.streams:
+        run_streams(model, args)
     if args.perplexity and args.dataset:
         run_ppl(model, cache, tokenizer, args)
     if args.validate:

@@ -9,9 +9,13 @@
 // Layout contract (must match exllama_tpu/formats/gptq.py):
 //   * GPTQ qweight: int32 [K/8, N], bits 4*i of word (r, n) hold the 4-bit
 //     value of W[r*8+i, n].
-//   * TPU panel layout: int32 [K, N_pad/8]; within each panel of
-//     PANEL=1024 true columns, nibble i of word column p*128+j holds true
-//     column p*1024 + i*128 + j. N_pad = ceil(N/1024)*1024, zero padded.
+//   * TPU kgroup layout: int32 [K/8, N_pad], N_pad = ceil(N/1024)*1024.
+//     Within each quantization group g (gs logical rows), byte
+//     b = 2*(row in group half) at int8 row r' = g*gs/2 + (row % (gs/2)):
+//     the LOW nibble of byte r' holds logical row g*gs + (r' - g*gs/2)
+//     and the HIGH nibble holds logical row g*gs + gs/2 + (r' - g*gs/2),
+//     stored XOR 8 (top bit flipped). int8 row r' lives in int32 word
+//     r'/4, byte r'%4 (little endian).
 
 #include <cstdint>
 #include <cstring>
@@ -23,37 +27,47 @@
 
 extern "C" {
 
-static const int LANE = 128;
-static const int PANEL = 8 * LANE;
+static const int N_ALIGN = 1024;
 
-// GPTQ [K/8, N] int32  →  panel layout [K, N_pad/8] int32, with an optional
-// row permutation x_map (act-order make_sequential): output row r takes
-// input row x_map[r]. Pass x_map = nullptr for identity.
-void gptq_repack_panels(
+// GPTQ [K/8, N] int32  →  kgroup layout [K/8, N_pad] int32, with an
+// optional logical-row permutation x_map (act-order make_sequential):
+// logical row r of the output takes wire row x_map[r]. Pass nullptr for
+// identity.
+void gptq_repack_kgroup(
     const int32_t* qweight,   // [K/8, N]
-    int32_t* out,             // [K, N_pad/8], caller-allocated (zeroed here)
+    int32_t* out,             // [K/8, N_pad], caller-allocated
     const int32_t* x_map,     // [K] or nullptr
     int64_t K,
-    int64_t N)
+    int64_t N,
+    int64_t gs)
 {
-    const int64_t n_pad = ((N + PANEL - 1) / PANEL) * PANEL;
-    const int64_t words_out = n_pad / 8;
+    const int64_t n_pad = ((N + N_ALIGN - 1) / N_ALIGN) * N_ALIGN;
+    const int64_t half = gs / 2;
 
 #pragma omp parallel for schedule(static)
-    for (int64_t r = 0; r < K; r++) {
-        const int64_t src_r = x_map ? (int64_t)x_map[r] : r;
-        const uint32_t* src_row = (const uint32_t*)qweight + (src_r / 8) * N;
-        const int shift = 4 * (int)(src_r % 8);
-        uint32_t* dst_row = (uint32_t*)out + r * words_out;
-        std::memset(dst_row, 0, words_out * sizeof(uint32_t));
-        // walk true columns; c = p*PANEL + i*LANE + j → word p*LANE+j, nib i
-        for (int64_t c = 0; c < N; c++) {
-            const uint32_t q = (src_row[c] >> shift) & 0xF;
-            const int64_t p = c / PANEL;
-            const int64_t rem = c % PANEL;
-            const int64_t i = rem / LANE;
-            const int64_t j = rem % LANE;
-            dst_row[p * LANE + j] |= q << (4 * i);
+    for (int64_t rw = 0; rw < K / 8; rw++) {      // output word row
+        uint32_t* out_row = (uint32_t*)out + rw * n_pad;
+        std::memset(out_row, 0, n_pad * sizeof(uint32_t));
+        for (int j = 0; j < 4; j++) {             // byte within word
+            const int64_t rp = 4 * rw + j;        // int8 row
+            const int64_t g = rp / half;
+            const int64_t off = rp % half;
+            const int64_t lo_r = g * gs + off;
+            const int64_t hi_r = g * gs + half + off;
+            const int64_t lo_src = x_map ? (int64_t)x_map[lo_r] : lo_r;
+            const int64_t hi_src = x_map ? (int64_t)x_map[hi_r] : hi_r;
+            const uint32_t* lo_row =
+                (const uint32_t*)qweight + (lo_src / 8) * N;
+            const uint32_t* hi_row =
+                (const uint32_t*)qweight + (hi_src / 8) * N;
+            const int lo_sh = 4 * (int)(lo_src % 8);
+            const int hi_sh = 4 * (int)(hi_src % 8);
+            const int bsh = 8 * j;
+            for (int64_t c = 0; c < N; c++) {
+                const uint32_t lo = (lo_row[c] >> lo_sh) & 0xF;
+                const uint32_t hi = ((hi_row[c] >> hi_sh) & 0xF) ^ 8u;
+                out_row[c] |= (lo | (hi << 4)) << bsh;
+            }
         }
     }
 }
@@ -93,7 +107,7 @@ void gptq_zscale(
     int64_t G,
     int64_t N)
 {
-    const int64_t n_pad = ((N + PANEL - 1) / PANEL) * PANEL;
+    const int64_t n_pad = ((N + N_ALIGN - 1) / N_ALIGN) * N_ALIGN;
 #pragma omp parallel for schedule(static)
     for (int64_t g = 0; g < G; g++) {
         const uint32_t* zrow = (const uint32_t*)qzeros + g * (N / 8);

@@ -16,20 +16,29 @@ GPTQ checkpoints store, per linear layer (reference model.py:141-145):
                                      activation-importance order.
 
 The reference keeps this layout and unpacks nibbles inside its CUDA kernel
-(matrix.cuh:87-133). On TPU the VPU operates on (sublane, lane) tiles with a
-128-wide lane dimension, so we repack once at load time into a layout whose
-in-kernel unpack is a cheap lane-dimension concatenation:
+(matrix.cuh:87-133). On TPU we repack once at load time into a layout whose
+in-kernel unpack is two int8 mask ops per byte:
 
-TPU *panel* layout
-------------------
-``qweight_tpu`` int32 [K, N_pad/8]. Columns are grouped into panels of
-``PANEL = 8*LANE = 1024`` true columns. Within panel ``p``, word column
-``p*LANE + j`` holds, in nibble ``i``, the quantized value of true column
-``c = p*PANEL + i*LANE + j``. Unpacking a [bk, LANE] word tile therefore
-yields eight [bk, LANE] nibble tiles which concatenate along lanes into the
-panel's [bk, PANEL] weight tile in true column order — no interleaving, no
-gathers. N is zero-padded to a multiple of PANEL (padded columns get
-scale = 0 so they dequantize to exactly 0).
+TPU *kgroup* layout
+-------------------
+``qweight_tpu`` int32 [K/8, N_pad] — K-packed like the GPTQ wire format
+(lanes = output columns, zero-padded to a multiple of N_ALIGN = 256), but
+with the 8 nibbles of each word arranged so that Mosaic's int32→int8
+bitcast (int8 row r' = 4r + j, little-endian bytes) unpacks each
+quantization group into its two contiguous halves:
+
+  * the LOW nibble of int8 row r' (group g, r' ∈ [g·gs/2, (g+1)·gs/2))
+    holds logical k-row  g·gs + (r' − g·gs/2)          — first half of g
+  * the HIGH nibble holds logical k-row g·gs + gs/2 + (r' − g·gs/2)
+    — second half — stored with its top bit flipped (value XOR 8), so the
+    signed int8 ``byte & 0xF0`` equals exactly ``16·q − 128``: the kernel
+    recovers the true value with per-GROUP affine math instead of a
+    per-weight shift (Mosaic has no int8 arithmetic shift).
+
+In-kernel unpack is then: bitcast → ``b & 0x0F`` (first-half tile) and
+``b & 0xF0`` (second-half tile, affine-encoded) — two VPU ops per byte of
+packed weights, plus the int8→bf16 converts feeding the MXU. Padded columns
+carry scale = zscale = 0 and dequantize to exactly 0.
 
 Act-order is resolved at load time by sorting rows group-sequential and
 remembering the row permutation ``x_map`` to apply to the activation — the
@@ -49,7 +58,11 @@ import jax
 import numpy as np
 
 LANE = 128
-PANEL = 8 * LANE  # 1024 true columns per int32-word panel
+N_ALIGN = 1024    # output-column padding granularity of the kgroup layout
+                  # (1024 keeps wide-matrix N blocks large: 11008 -> 11264
+                  # gives bn=1024 blocks; 256-alignment left 11008 with only
+                  # 256-wide lane-legal blocks and cost ~12% decode)
+PANEL = 8 * LANE  # retained for the legacy panel-layout helpers below
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +137,54 @@ def make_sequential(
 
 
 # ---------------------------------------------------------------------------
-# TPU panel layout
+# TPU kgroup layout (the shipping layout; see module docstring)
+# ---------------------------------------------------------------------------
+
+def pack_kgroup(q: np.ndarray, groupsize: int) -> np.ndarray:
+    """uint8 [K, N] 4-bit values → int32 [K/8, N_pad] kgroup layout."""
+    k, n = q.shape
+    assert k % groupsize == 0 and groupsize % 2 == 0
+    n_pad = -(-n // N_ALIGN) * N_ALIGN
+    if n_pad != n:
+        q = np.concatenate(
+            [q, np.zeros((k, n_pad - n), dtype=q.dtype)], axis=1
+        )
+    half = groupsize // 2
+    qg = q.reshape(k // groupsize, groupsize, n_pad)
+    lo = qg[:, :half, :]
+    hi = qg[:, half:, :] ^ 8           # top bit flipped (see module doc)
+    bts = (lo | (hi << 4)).astype(np.uint8).reshape(k // 2, n_pad)
+    bts[:, n:] = 0                     # padded columns all-zero bytes
+    words = (
+        bts[0::4].astype(np.uint32)
+        | (bts[1::4].astype(np.uint32) << 8)
+        | (bts[2::4].astype(np.uint32) << 16)
+        | (bts[3::4].astype(np.uint32) << 24)
+    )
+    return words.astype(np.int32)      # [K/8, N_pad]
+
+
+def unpack_kgroup(
+    words: np.ndarray, groupsize: int, n: Optional[int] = None
+) -> np.ndarray:
+    """Inverse of :func:`pack_kgroup`: int32 [K/8, N_pad] → uint8 [K, N]."""
+    kw, n_pad = words.shape
+    k = kw * 8
+    w = words.astype(np.uint32)
+    bts = np.empty((k // 2, n_pad), np.uint8)
+    for j in range(4):
+        bts[j::4] = (w >> (8 * j)) & 0xFF
+    lo = bts & 0x0F
+    hi = ((bts >> 4) & 0x0F) ^ 8
+    half = groupsize // 2
+    lo = lo.reshape(k // groupsize, half, n_pad)
+    hi = hi.reshape(k // groupsize, half, n_pad)
+    q = np.concatenate([lo, hi], axis=1).reshape(k, n_pad)
+    return q[:, :n] if n is not None else q
+
+
+# ---------------------------------------------------------------------------
+# Legacy TPU panel layout (kept for reference/compat; the kernels use kgroup)
 # ---------------------------------------------------------------------------
 
 def repack_panels(q: np.ndarray) -> np.ndarray:
@@ -180,7 +240,7 @@ class QuantTensor:
     before the matmul; rows of the stored weight are already group-sequential.
     """
 
-    qweight: jax.Array   # int32  [K, N_pad/8]  panel layout
+    qweight: jax.Array   # int32  [K/8, N_pad]  kgroup layout
     scales: jax.Array    # f32    [K/gs, N_pad] (0 in padded columns)
     zscale: jax.Array    # f32    [K/gs, N_pad]
     x_map: Optional[jax.Array]  # int32 [K] or None
@@ -195,7 +255,7 @@ class QuantTensor:
 
     @property
     def padded_out_features(self) -> int:
-        return self.qweight.shape[1] * 8
+        return self.qweight.shape[1]
 
 
 def load_quant_tensor(
@@ -235,7 +295,7 @@ def load_quant_tensor(
                     "g_idx does not assign exactly groupsize rows/group"
                 )
             x_map = native.make_x_map(g_idx, groups)
-        words = native.repack_panels(qweight, x_map, k, n)
+        words = native.repack_kgroup(qweight, x_map, k, n, groupsize)
         s, zscale = native.zscale(qzeros, scales, groups, n)
         s = s.astype(scale_dtype, copy=False)
         zscale = zscale.astype(scale_dtype, copy=False)
@@ -246,12 +306,12 @@ def load_quant_tensor(
         z = unpack_gptq_qzeros(qzeros).astype(scale_dtype)
         s = scales.astype(scale_dtype)
         zscale = (z + 1.0) * s
-        n_pad = -(-n // PANEL) * PANEL
+        n_pad = -(-n // N_ALIGN) * N_ALIGN
         if n_pad != n:
             pad = ((0, 0), (0, n_pad - n))
             s = np.pad(s, pad)
             zscale = np.pad(zscale, pad)
-        words = repack_panels(q)
+        words = pack_kgroup(q, groupsize)
 
     return QuantTensor(
         qweight=words,
@@ -270,7 +330,9 @@ def dequantize(qt: QuantTensor) -> np.ndarray:
     Note: rows are in *sequential* order; for act-order tensors the caller
     must permute the activation by ``x_map`` (not the output of this).
     """
-    q = unpack_panels(np.asarray(qt.qweight)).astype(np.float32)
+    q = unpack_kgroup(
+        np.asarray(qt.qweight), qt.groupsize
+    ).astype(np.float32)
     gs = qt.groupsize
     s = np.repeat(np.asarray(qt.scales, dtype=np.float32), gs, axis=0)
     zs = np.repeat(np.asarray(qt.zscale, dtype=np.float32), gs, axis=0)

@@ -135,7 +135,7 @@ def make_synthetic_params(
     float matrices — identical compute/memory profile on device, ~100x
     faster to build on host. Use for perf benchmarks of big models.
     """
-    from exllama_tpu.formats.gptq import PANEL, QuantTensor
+    from exllama_tpu.formats.gptq import N_ALIGN, QuantTensor
     from exllama_tpu.models.llama import LayerParams, ModelParams
     from exllama_tpu.ops.rope import rope_tables
 
@@ -157,10 +157,10 @@ def make_synthetic_params(
         )
 
     def qt_fast(k, n):
-        n_pad = -(-n // PANEL) * PANEL
+        n_pad = -(-n // N_ALIGN) * N_ALIGN
         words = np.frombuffer(
             rng.bytes(k * n_pad // 2), dtype=np.int32
-        ).reshape(k, n_pad // 8)
+        ).reshape(k // 8, n_pad)
         # Uniform nibbles (mean 7.5, std ~4.6); pick s so dequant values get
         # std 0.02/sqrt(k/4096), zero-point 8 to roughly center them.
         sigma = 0.02 / np.sqrt(k / 4096)

@@ -47,10 +47,10 @@ def _load() -> Optional[ctypes.CDLL]:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
-    lib.gptq_repack_panels.argtypes = [
-        i32p, i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
+    lib.gptq_repack_kgroup.argtypes = [
+        i32p, i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
     ]
-    lib.gptq_repack_panels_xmap = lib.gptq_repack_panels  # alias w/ x_map
     lib.gptq_zscale.argtypes = [
         i32p, u16p, f32p, f32p, ctypes.c_int64, ctypes.c_int64
     ]
@@ -70,22 +70,23 @@ def available() -> bool:
     return _load() is not None
 
 
-def repack_panels(qweight: np.ndarray, x_map: "np.ndarray | None",
-                  k: int, n: int) -> "np.ndarray | None":
-    """GPTQ [K/8, N] → panel layout [K, N_pad/8] (+ optional row perm)."""
+def repack_kgroup(qweight: np.ndarray, x_map: "np.ndarray | None",
+                  k: int, n: int, groupsize: int) -> "np.ndarray | None":
+    """GPTQ [K/8, N] → kgroup layout [K/8, N_pad] (+ optional row perm)."""
     lib = _load()
     if lib is None:
         return None
     n_pad = -(-n // 1024) * 1024
-    out = np.empty((k, n_pad // 8), np.int32)
+    out = np.empty((k // 8, n_pad), np.int32)
     qweight = np.ascontiguousarray(qweight, np.int32)
     if x_map is not None:
         x_map = np.ascontiguousarray(x_map, np.int32)
-        lib.gptq_repack_panels(
-            qweight, out, x_map.ctypes.data_as(ctypes.c_void_p), k, n
+        lib.gptq_repack_kgroup(
+            qweight, out, x_map.ctypes.data_as(ctypes.c_void_p), k, n,
+            groupsize,
         )
     else:
-        lib.gptq_repack_panels(qweight, out, None, k, n)
+        lib.gptq_repack_kgroup(qweight, out, None, k, n, groupsize)
     return out
 
 

@@ -4,19 +4,27 @@ TPU-native re-design of the reference's q4_matmul
 (exllama_ext/cuda_func/q4_matmul.cu). The reference splits into two paths by
 row count: a hand-written GEMV CUDA kernel for decode (q4_matmul.cu:87-235)
 and dequantize-then-cuBLAS for prefill (q4_matmul.cu:301-344). Here both are
-one Pallas kernel family — the same fused dequant+MXU-matmul with
-M-dependent tile shapes — plus a pure-XLA fallback (dequantize + jnp.dot)
-that serves as the cross-validation oracle, exactly the reference's own
-validation trick (test_benchmark_inference.py:239-246).
+one Pallas kernel family over the *kgroup* weight layout (formats/gptq.py)
+— selected by M exactly like the reference's matmul_recons_thd switch —
+plus a pure-XLA fallback (dequantize + jnp.dot) that serves as the
+cross-validation oracle, the reference's own validation trick
+(test_benchmark_inference.py:239-246).
 
-Weight layout: see formats/gptq.py. Per (bk × PANEL) tile the kernel
-  1. DMAs the int32 word tile [bk, LANE] (this is the HBM-bandwidth-bound
-     stream at decode: 4 bits/weight — speed of light),
-  2. unpacks 8 nibbles with shift/mask and concatenates along lanes into the
-     [bk, PANEL] quantized tile in true column order (no gathers: the panel
-     repack at load time did the shuffling once),
-  3. dequantizes per quantization group g: w = q * scales[g] - zscale[g],
-  4. feeds the MXU: acc += x_tile @ w_tile, fp32 accumulation.
+The kgroup layout makes the in-kernel unpack two int8 mask ops per byte:
+``bitcast(int32 → int8)`` yields, per quantization group, a [gs/2, bn] byte
+tile whose low nibbles are the group's first-half rows (exact values) and
+whose high nibbles are the second-half rows stored top-bit-flipped so that
+the *signed* ``byte & 0xF0`` equals ``16·q − 128`` — an affine encoding the
+kernel undoes with per-GROUP math on the [M, bn] partial products, never
+per weight:
+
+    out = Σ_g [ (x₁·lo_g) + (x₂·hv_g)/16 + 8·Σx₂ ]·s_g − (Σx₁+Σx₂)·zscale_g
+
+(x₁/x₂ = the group's half-slices of the activation). All per-weight VPU
+work is the two masks plus the int8→bf16 converts feeding the MXU; measured
+~20% faster than shift/concat unpacking of a lane-panel layout on v5e, and
+the zero-point term costs one FMA per OUTPUT (the reference's ``no_zero``
+accumulate trick, q4_matmul.cu:78-82, done inside the kernel).
 
 Act-order models permute the activation's feature axis by x_map before the
 kernel (the reference's column_remap, cuda_func/column_remap.cu) — rows of
@@ -26,13 +34,14 @@ the stored weight are already group-sequential.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from exllama_tpu.formats.gptq import LANE, PANEL, QuantTensor
+from exllama_tpu.formats.gptq import N_ALIGN, QuantTensor
 
 
 def _is_tpu() -> bool:
@@ -40,21 +49,27 @@ def _is_tpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# XLA path: on-device dequantize (from the panel layout) + jnp.dot.
+# XLA path: on-device dequantize (from the kgroup layout) + jnp.dot.
 # Analogue of the reference's reconstruct+cuBLAS path (q4_matmul.cu:301-344)
-# and the correctness oracle for the Pallas kernel.
+# and the correctness oracle for the Pallas kernels.
 # ---------------------------------------------------------------------------
 
 def dequantize_xla(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Dequantize the panel-layout weight on device → [K, N_pad]."""
-    k, nw = qt.qweight.shape
-    p = nw // LANE
-    u = jax.lax.bitcast_convert_type(qt.qweight, jnp.uint32)
-    u = u.reshape(k, p, LANE)
-    nibs = [(u >> jnp.uint32(4 * i)) & jnp.uint32(0xF) for i in range(8)]
-    # [K, P, 8, LANE] → [K, P*8*LANE]; true column = p*PANEL + i*LANE + j
-    q = jnp.stack(nibs, axis=2).reshape(k, p * PANEL).astype(jnp.float32)
+    """Dequantize the kgroup-layout weight on device → [K, N_pad]."""
+    kw, n_pad = qt.qweight.shape
+    k = kw * 8
     gs = qt.groupsize
+    half = gs // 2
+    u = jax.lax.bitcast_convert_type(qt.qweight, jnp.uint32)
+    bts = jnp.stack(
+        [(u >> jnp.uint32(8 * j)) & jnp.uint32(0xFF) for j in range(4)],
+        axis=1,
+    ).reshape(k // 2, n_pad)                      # int8 row r' = 4r + j
+    lo = (bts & 0xF).astype(jnp.float32)
+    hi = (((bts >> 4) & 0xF) ^ 8).astype(jnp.float32)
+    lo = lo.reshape(k // gs, half, n_pad)
+    hi = hi.reshape(k // gs, half, n_pad)
+    q = jnp.concatenate([lo, hi], axis=1).reshape(k, n_pad)
     s = jnp.repeat(qt.scales.astype(jnp.float32), gs, axis=0)
     zs = jnp.repeat(qt.zscale.astype(jnp.float32), gs, axis=0)
     return (q * s - zs).astype(dtype)
@@ -67,129 +82,186 @@ def _q4_matmul_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels
-#
-# Two members of one family, selected by M (the reference switches between a
-# custom GEMV kernel and reconstruct+cuBLAS at matmul_recons_thd the same way,
-# exllama_ext.cpp:217-239):
-#
-#   * ``gps`` (group-partial-sums) — the decode/small-M kernel. Per quant
-#     group g it computes the *raw* nibble dot p_g = x_g @ q_g on the MXU and
-#     applies the scale to the [M, PANEL] partial sum instead of to the
-#     [gs, PANEL] weight tile — per-OUTPUT math instead of per-WEIGHT math,
-#     which removes the f32 multiply/sub per weight that made the VPU the
-#     bottleneck at M=1. The zero-point term is exact:
-#         out[m,n] = Σ_g s[g,n]·(x_g·q_g)[m,n] − Σ_g (Σ_{k∈g} x[m,k])·zscale[g,n]
-#     and the second term is one tiny [M, G]@[G, PANEL] matmul seeded into the
-#     accumulator at k-step 0 (the reference's ``no_zero`` accumulate trick,
-#     q4_matmul.cu:78-82, turned inside the kernel). Measured ~900 GB/s
-#     effective on a 4096² GEMV on v5e — at the HBM roofline.
-#
-#   * ``deqw`` (dequantized-weights) — the prefill/large-M kernel: dequantize
-#     the [bk, PANEL] weight tile to bf16 once and do one MXU matmul per
-#     k-step. At large M the MXU dominates (measured ~130 TFLOP/s at M=2048
-#     on v5e); the per-weight dequant amortizes over M rows.
+# Pallas kernels (two members of one family, selected by M)
 # ---------------------------------------------------------------------------
 
 def _q4_gemv_kernel(
     x_ref,        # [bm, bk]           activation tile (bf16/f32)
-    qw_ref,       # [bk, LANE]         packed words (int32)
-    s_ref,        # [1, bk/gs, PANEL]  scales (f32)
-    zs_ref,       # [1, bk/gs, PANEL]  zscale (f32)
-    out_ref,      # [bm, PANEL]
-    acc_ref,      # [bm, PANEL] f32 scratch
+    qw_ref,       # [bk/8, bn]         packed words (int32, kgroup)
+    s_ref,        # [1, bk/gs, bn]     scales (f32)
+    z_ref,        # [1, bk/gs, bn]     zscale (f32)
+    out_ref,      # [bm, bn]
+    acc_ref,      # [bm, bn] f32 scratch
     *,
     groupsize: int,
     block_k: int,
     out_dtype,
 ):
+    """Decode/small-M: raw nibble dots on the MXU, scales and zero-points
+    applied to the [M, bn] group partial sums (see module docstring)."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s = s_ref[0]   # [bk/gs, PANEL]
-    zs = zs_ref[0]
+    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk/2, bn]
+    s = s_ref[0]
+    z = z_ref[0]
+    half = groupsize // 2
     for g in range(block_k // groupsize):
-        sl = slice(g * groupsize, (g + 1) * groupsize)
-        w32 = qw_ref[sl, :]                               # [gs, LANE] int32
-        nibs = [(w32 >> (4 * i)) & 0xF for i in range(8)]
-        q = jnp.concatenate(nibs, axis=1).astype(jnp.bfloat16)  # [gs, PANEL]
-        xg = x_ref[:, sl]
-        p = jnp.dot(xg, q, preferred_element_type=jnp.float32)
-        # zero-point term: (Σ_k x) · zscale per group — per-output math
-        xsg = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        acc_ref[:] += p * s[g : g + 1, :] - xsg * zs[g : g + 1, :]
+        blk = b8[g * half : (g + 1) * half, :]    # [gs/2, bn]
+        lo = (blk & 0x0F).astype(jnp.bfloat16)    # first half, exact
+        hv = (blk & (-16)).astype(jnp.bfloat16)   # second half, 16q - 128
+        x1 = x_ref[:, g * groupsize : g * groupsize + half]
+        x2 = x_ref[:, g * groupsize + half : (g + 1) * groupsize]
+        p = jnp.dot(x1, lo, preferred_element_type=jnp.float32)
+        phv = jnp.dot(x2, hv, preferred_element_type=jnp.float32)
+        xs1 = x1.astype(jnp.float32).sum(axis=1, keepdims=True)
+        xs2 = x2.astype(jnp.float32).sum(axis=1, keepdims=True)
+        p += phv * 0.0625 + xs2 * 8.0
+        acc_ref[:] += p * s[g : g + 1, :] - (xs1 + xs2) * z[g : g + 1, :]
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _q4_deqw_kernel(
+    x_ref,        # [bm, bk]
+    qw_ref,       # [bk/8, bn]
+    s_ref,        # [1, bk/gs, bn]
+    z_ref,        # [1, bk/gs, bn]
+    out_ref,      # [bm, bn]
+    acc_ref,      # [bm, bn] f32 scratch
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """Prefill/large-M: dequantize the weight tile to bf16 once per k-step
+    (amortized over M rows) and do one MXU matmul over the block."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+    s = s_ref[0]
+    z = z_ref[0]
+    half = groupsize // 2
+    parts = []
+    for g in range(block_k // groupsize):
+        blk = b8[g * half : (g + 1) * half, :]
+        sg = s[g : g + 1, :]
+        zg = z[g : g + 1, :]
+        lo_w = (blk & 0x0F).astype(jnp.float32) * sg - zg
+        hv = (blk & (-16)).astype(jnp.float32)
+        hi_w = hv * (sg * 0.0625) + (sg * 8.0 - zg)
+        parts.append(lo_w.astype(x_ref.dtype))
+        parts.append(hi_w.astype(x_ref.dtype))
+    w = jnp.concatenate(parts, axis=0)            # [bk, bn]
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Block choosers
+# ---------------------------------------------------------------------------
+
 GEMV_VMEM_BUDGET = 24 * 1024 * 1024
 
 
-def _gemv_vmem_bytes(bk: int, bm: int, groupsize: int, g_total: int) -> int:
-    """Scoped-VMEM footprint of one gemv kernel instance (double-buffered
+def _vmem_bytes(bk: int, bn: int, bm: int, groupsize: int) -> int:
+    """Scoped-VMEM footprint of one kernel instance (double-buffered
     streams counted twice)."""
     return (
-        bk * LANE * 4 * 2            # qweight block, int32, 2 buffers
+        (bk // 8) * bn * 4 * 2       # qweight block, int32, 2 buffers
         + bm * bk * 2 * 2            # x block, bf16, 2 buffers
-        + (bk // groupsize) * PANEL * 4 * 4   # scales + zscale blocks
-        + bm * PANEL * 4             # f32 accumulator
-        + bm * PANEL * 2 * 2         # out block
+        + (bk // groupsize) * bn * 4 * 4   # scales + zscale blocks
+        + bm * bn * 4                # f32 accumulator
+        + bm * bn * 2 * 2            # out block
     )
 
 
-def _choose_block_k_gemv(k: int, groupsize: int, bm: int = 8) -> int:
-    """K block for the gemv kernel: must divide K, align to quant groups,
-    and keep the x-tile lane dimension 128-aligned. Bigger is better
-    (measured on v5e: K=11008 whole-K block is 2x faster than 256-row
-    blocks — fewer grid steps, larger DMAs), bounded by the kernel's
-    scoped-VMEM budget."""
-    import math
+def _choose_block_n(n_pad: int, preferred: int = 1024) -> int:
+    """Output-column block: divisor of N_pad, lane-legal (multiple of 128
+    or the whole dim)."""
+    cands = [
+        bn
+        for bn in range(128, n_pad + 1, 128)
+        if n_pad % bn == 0
+    ]
+    if not cands:
+        return n_pad
+    at_most = [bn for bn in cands if bn <= preferred]
+    return max(at_most) if at_most else min(cands)
 
+
+def _choose_block_k(
+    k: int, groupsize: int, bn: int, bm: int = 8
+) -> int:
+    """K block: must divide K, align to quant groups, keep the x-tile lane
+    dim 128-aligned. Bigger is better on v5e (fewer grid steps, larger
+    DMAs), bounded by the kernel's scoped-VMEM budget."""
     step = math.lcm(groupsize, 128)
-    g_total = k // groupsize
     cands = [
         bk
         for bk in range(step, k + 1, step)
         if k % bk == 0
-        and _gemv_vmem_bytes(bk, bm, groupsize, g_total) <= GEMV_VMEM_BUDGET
+        and _vmem_bytes(bk, bn, bm, groupsize) <= GEMV_VMEM_BUDGET
     ]
     if not cands:
-        raise ValueError(f"no valid gemv block_k for K={k}, gs={groupsize}")
+        raise ValueError(f"no valid block_k for K={k}, gs={groupsize}")
     return max(cands)
 
 
+def _choose_block_m(m: int) -> int:
+    for cap in (8, 16, 32, 64, 128, 256):
+        if m <= cap:
+            return cap
+    return 256
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrapper (shared by both kernels)
+# ---------------------------------------------------------------------------
+
 @functools.partial(
     jax.jit,
-    static_argnames=("groupsize", "block_k", "out_dtype", "interpret"),
+    static_argnames=(
+        "groupsize", "block_k", "block_n", "out_dtype", "kernel_kind",
+        "interpret",
+    ),
 )
-def _q4_matmul_pallas_gemv(
+def _q4_matmul_pallas_call(
     x2: jax.Array,       # [M, K] — M already padded to a block multiple
-    qweight: jax.Array,  # [K, N_pad/8]
+    qweight: jax.Array,  # [K/8, N_pad]
     scales: jax.Array,   # [K/gs, N_pad]
     zscale: jax.Array,   # [K/gs, N_pad]
     *,
     groupsize: int,
     block_k: int,
+    block_n: int,
     out_dtype,
+    kernel_kind: str,    # "gemv" | "deqw"
     interpret: bool,
 ):
     m, k = x2.shape
-    n_pad = qweight.shape[1] * 8
-    bm = m  # decode shapes: one m-block
-    grid = (1, n_pad // PANEL, k // block_k)
+    n_pad = qweight.shape[1]
+    bm = _choose_block_m(m)
+    assert m % bm == 0
+    grid = (m // bm, n_pad // block_n, k // block_k)
     gsz = block_k // groupsize
     scales3 = scales.reshape(k // block_k, gsz, n_pad)
     zscale3 = zscale.reshape(k // block_k, gsz, n_pad)
+    kern = _q4_gemv_kernel if kernel_kind == "gemv" else _q4_deqw_kernel
     kernel = functools.partial(
-        _q4_gemv_kernel,
-        groupsize=groupsize,
-        block_k=block_k,
-        out_dtype=out_dtype,
+        kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype
     )
     flops = 2 * m * k * n_pad
     bytes_accessed = (
@@ -204,17 +276,17 @@ def _q4_matmul_pallas_gemv(
         in_specs=[
             pl.BlockSpec((bm, block_k), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, LANE), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((block_k // 8, block_n), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsz, PANEL), lambda i, j, kk: (kk, 0, j),
+            pl.BlockSpec((1, gsz, block_n), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsz, PANEL), lambda i, j, kk: (kk, 0, j),
+            pl.BlockSpec((1, gsz, block_n), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, PANEL), lambda i, j, kk: (i, j),
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, PANEL), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
@@ -225,139 +297,9 @@ def _q4_matmul_pallas_gemv(
     )(x2, qweight, scales3, zscale3)
 
 
-def _q4_matmul_kernel(
-    x_ref,        # [bm, bk]           activation tile (bf16/f32)
-    qw_ref,       # [bk, LANE]         packed words (int32)
-    s_ref,        # [1, bk/gs, PANEL]  scales (f32)
-    z_ref,        # [1, bk/gs, PANEL]  zero*scale (f32)
-    out_ref,      # [bm, PANEL]
-    acc_ref,      # [bm, PANEL] f32 scratch
-    *,
-    groupsize: int,
-    block_k: int,
-    out_dtype,
-):
-    k_idx = pl.program_id(2)
-
-    @pl.when(k_idx == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # Dequantize group by group, concatenating *values* (never a VMEM
-    # scratch: a scratch store/reload here serializes Mosaic's pipeline and
-    # measured 33x slower), then do one MXU matmul over the block.
-    s = s_ref[0]  # [bk/gs, PANEL]
-    z = z_ref[0]
-    parts = []
-    for g in range(block_k // groupsize):
-        sl = slice(g * groupsize, (g + 1) * groupsize)
-        # Arithmetic shift on int32 is safe here: the &0xF mask kills any
-        # sign-extension bits (Mosaic has no uint32→f32 cast).
-        w32 = qw_ref[sl, :]                               # [gs, LANE] int32
-        nibs = [(w32 >> (4 * i)) & 0xF for i in range(8)]
-        q = jnp.concatenate(nibs, axis=1).astype(jnp.float32)  # [gs, PANEL]
-        parts.append(
-            (q * s[g : g + 1, :] - z[g : g + 1, :]).astype(x_ref.dtype)
-        )
-    w = jnp.concatenate(parts, axis=0)                    # [bk, PANEL]
-
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
-
-    @pl.when(k_idx == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = acc_ref[:].astype(out_dtype)
-
-
-def _choose_block_k(k: int, groupsize: int, preferred: int) -> int:
-    for bk in (preferred, 1024, 512, 256, 128, 64, 32, groupsize):
-        if bk % groupsize == 0 and bk % 8 == 0 and k % bk == 0 and bk <= k:
-            return bk
-    raise ValueError(f"no valid block_k for K={k}, groupsize={groupsize}")
-
-
-def _choose_block_m(m: int) -> int:
-    if m <= 8:
-        return 8
-    if m <= 16:
-        return 16
-    if m <= 32:
-        return 32
-    if m <= 64:
-        return 64
-    if m <= 128:
-        return 128
-    return 256
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("groupsize", "block_k", "out_dtype", "interpret"),
-)
-def _q4_matmul_pallas_2d(
-    x2: jax.Array,       # [M, K] — M already padded to a block multiple
-    qweight: jax.Array,  # [K, N_pad/8]
-    scales: jax.Array,   # [K/gs, N_pad]
-    zscale: jax.Array,   # [K/gs, N_pad]
-    *,
-    groupsize: int,
-    block_k: int,
-    out_dtype,
-    interpret: bool,
-):
-    m, k = x2.shape
-    n_pad = qweight.shape[1] * 8
-    bm = _choose_block_m(m)
-    assert m % bm == 0
-    grid = (m // bm, n_pad // PANEL, k // block_k)
-
-    kernel = functools.partial(
-        _q4_matmul_kernel,
-        groupsize=groupsize,
-        block_k=block_k,
-        out_dtype=out_dtype,
-    )
-    gsz = block_k // groupsize
-    # Reshape scales so each k-step's groups are a full middle axis — block
-    # shape (1, gsz, PANEL) is then legal for any gsz (the TPU lowering
-    # requires sublane-dim blocks divisible by 8 *or* equal to the array
-    # dim). Row-major reshape, so it's free.
-    scales3 = scales.reshape(k // block_k, gsz, n_pad)
-    zscale3 = zscale.reshape(k // block_k, gsz, n_pad)
-    flops = 2 * m * k * n_pad
-    bytes_accessed = (
-        k * n_pad // 2
-        + m * k * x2.dtype.itemsize
-        + 2 * (k // groupsize) * n_pad * 4
-        + m * n_pad * jnp.dtype(out_dtype).itemsize
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, block_k), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, LANE), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsz, PANEL), lambda i, j, kk: (kk, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsz, PANEL), lambda i, j, kk: (kk, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, PANEL), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, PANEL), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
-        ),
-        interpret=interpret,
-    )(x2, qweight, scales3, zscale3)
-
-
-# M at or below this runs the gps GEMV kernel; above it the deqw kernel.
-# Analogue of the reference's matmul_recons_thd (exllama_ext.cpp:217-239),
-# except both sides here are fused Pallas kernels.
-GEMV_MAX_M = 256
+# M at or below this runs the gemv kernel; above it the deqw kernel.
+# Analogue of the reference's matmul_recons_thd (exllama_ext.cpp:217-239).
+GEMV_MAX_M = 32
 
 
 def _q4_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool) -> jax.Array:
@@ -366,38 +308,25 @@ def _q4_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool) -> jax.Arr
     for d in lead:
         m *= d
     x2 = x.reshape(m, k)
-
-    if m <= GEMV_MAX_M:
-        bm = _choose_block_m(m)
-        m_pad = -(-m // bm) * bm
-        if m_pad != m:
-            x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-        out = _q4_matmul_pallas_gemv(
-            x2,
-            qt.qweight,
-            qt.scales,
-            qt.zscale,
-            groupsize=qt.groupsize,
-            block_k=_choose_block_k_gemv(k, qt.groupsize, bm=m_pad),
-            out_dtype=jnp.dtype(x.dtype),
-            interpret=interpret,
-        )
-        out = out[:m, : qt.out_features]
-        return out.reshape(*lead, qt.out_features)
-
     bm = _choose_block_m(m)
     m_pad = -(-m // bm) * bm
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    block_k = _choose_block_k(k, qt.groupsize, preferred=512)
-    out = _q4_matmul_pallas_2d(
+
+    kind = "gemv" if m <= GEMV_MAX_M else "deqw"
+    n_pad = qt.qweight.shape[1]
+    bn = _choose_block_n(n_pad)
+    bk = _choose_block_k(k, qt.groupsize, bn, bm=bm)
+    out = _q4_matmul_pallas_call(
         x2,
         qt.qweight,
         qt.scales,
         qt.zscale,
         groupsize=qt.groupsize,
-        block_k=block_k,
+        block_k=bk,
+        block_n=bn,
         out_dtype=jnp.dtype(x.dtype),
+        kernel_kind=kind,
         interpret=interpret,
     )
     out = out[:m, : qt.out_features]

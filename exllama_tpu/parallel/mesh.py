@@ -8,9 +8,9 @@ over a 2-axis mesh and lets GSPMD insert the collectives:
   * ``tp`` (tensor parallel, rides ICI): q/k/v/gate/up shard their *output*
     columns; o/down shard their *input* rows (Megatron-style pairing, so the
     only collective per block is one psum/reduce-scatter after o and after
-    down). The GPTQ panel layout shards cleanly along columns: panels are
-    1024 true columns, so any tp that divides N_pad/1024 keeps whole panels
-    per shard with their scales/zscale columns alongside.
+    down). The kgroup layout shards cleanly along columns (lanes are true
+    output columns): any tp that divides N_pad/256 keeps aligned column
+    blocks per shard with their scales/zscale columns alongside.
   * ``dp`` (data/batch parallel, can span DCN): batch dimension of
     activations and KV cache.
   * KV cache shards over kv-heads on ``tp`` and batch on ``dp``.
@@ -28,7 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from exllama_tpu.formats.gptq import PANEL, QuantTensor
+from exllama_tpu.formats.gptq import N_ALIGN, QuantTensor
 
 
 def make_mesh(
@@ -76,9 +76,9 @@ def _quant_specs(qt: QuantTensor, shard: str) -> QuantTensor:
 
 
 def _can_shard_out(qt: QuantTensor, tp: int) -> bool:
-    """Column sharding must keep whole panels per shard (see module doc)."""
-    n_pad = qt.qweight.shape[-1] * 8
-    return (n_pad // PANEL) % tp == 0
+    """Column sharding must keep N_ALIGN-aligned column blocks per shard."""
+    n_pad = qt.qweight.shape[-1]
+    return (n_pad // N_ALIGN) % tp == 0
 
 
 def _can_shard_in(qt: QuantTensor, tp: int) -> bool:

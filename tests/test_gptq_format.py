@@ -53,6 +53,32 @@ def test_panel_roundtrip_and_padding():
         assert np.all(full[:, n:] == 0)
 
 
+def test_kgroup_roundtrip_and_padding():
+    rng = np.random.default_rng(7)
+    for gs in (32, 128):
+        for n in (256, 300, 1024 + 512):
+            q = rng.integers(0, 16, size=(256, n), dtype=np.uint8)
+            words = gptq.pack_kgroup(q, gs)
+            n_pad = -(-n // gptq.N_ALIGN) * gptq.N_ALIGN
+            assert words.shape == (256 // 8, n_pad)
+            back = gptq.unpack_kgroup(words, gs, n)
+            assert np.array_equal(back, q)
+
+
+def test_kgroup_layout_golden():
+    # logical k-row g*gs + off (off < gs/2) must land in the LOW nibble of
+    # int8 row g*gs/2 + off; row g*gs + gs/2 + off in the HIGH nibble,
+    # top-bit flipped. int8 row r' = word r'//4, byte r'%4 (little endian).
+    gs, k, n = 32, 64, 256
+    q = np.zeros((k, n), dtype=np.uint8)
+    q[3, 0] = 5        # group 0, off 3 → lo nibble of int8 row 3
+    q[16 + 3, 0] = 9   # group 0 second half → hi nibble of int8 row 3, ^8
+    words = gptq.pack_kgroup(q, gs).view(np.uint32)
+    byte = (words[0, 0] >> (8 * 3)) & 0xFF
+    assert byte & 0x0F == 5
+    assert ((byte >> 4) & 0x0F) == (9 ^ 8)
+
+
 def test_panel_layout_golden():
     # True column c = p*PANEL + i*LANE + j must land in word column
     # p*LANE + j, nibble i.

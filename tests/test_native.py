@@ -24,7 +24,7 @@ def test_native_repack_matches_numpy(act_order, n):
     x_map = None
     if act_order:
         q, x_map = gptq.make_sequential(q, t["g_idx"], gs)
-    want_words = gptq.repack_panels(q)
+    want_words = gptq.pack_kgroup(q, gs)
     z = gptq.unpack_gptq_qzeros(t["qzeros"]).astype(np.float32)
     s = t["scales"].astype(np.float32)
     want_zscale = (z + 1.0) * s
@@ -33,7 +33,7 @@ def test_native_repack_matches_numpy(act_order, n):
     xm = native.make_x_map(t["g_idx"], k // gs) if act_order else None
     if act_order:
         np.testing.assert_array_equal(xm, x_map)
-    got_words = native.repack_panels(t["qweight"], xm, k, n)
+    got_words = native.repack_kgroup(t["qweight"], xm, k, n, gs)
     np.testing.assert_array_equal(got_words, want_words)
 
     so, zo = native.zscale(t["qzeros"], t["scales"], k // gs, n)

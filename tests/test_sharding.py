@@ -51,7 +51,7 @@ def test_param_shardings_placement(setup):
     cfg, params = setup
     mesh = make_mesh(tp=2, dp=2)
     sh = param_shardings(params, mesh)
-    # q (2048 cols → 2 panels) shards; k/v (1024 → 1 panel) replicate
+    # q (2048 cols -> 2 aligned blocks) shards; k/v (1024 -> 1) replicate
     assert sh.layers[0].q.qweight.spec == jax.sharding.PartitionSpec(None, "tp")
     assert sh.layers[0].k.qweight.spec == jax.sharding.PartitionSpec(None, None)
     assert sh.layers[0].o.qweight.spec == jax.sharding.PartitionSpec("tp", None)
