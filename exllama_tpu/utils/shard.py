@@ -42,12 +42,14 @@ def shard_file(input_path: str, max_gb: float, output_dir: str | None = None):
         n = len(shards)
         weight_map = {}
         total = 0
+        written = []
         for i, shard_keys in enumerate(shards):
             name = f"{base}-{i + 1:05d}-of-{n:05d}.safetensors"
             tensors = {k: f.get_tensor(k) for k in shard_keys}
             safetensors.numpy.save_file(
                 tensors, os.path.join(output_dir, name)
             )
+            written.append(os.path.join(output_dir, name))
             for k in shard_keys:
                 weight_map[k] = name
                 total += tensors[k].nbytes
@@ -61,6 +63,7 @@ def shard_file(input_path: str, max_gb: float, output_dir: str | None = None):
     with open(index_path, "w") as fo:
         json.dump(index, fo, indent=2)
     print(f" -- wrote {index_path}")
+    return written
 
 
 def _dtype_bytes(dtype_str: str) -> int:
