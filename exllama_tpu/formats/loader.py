@@ -98,11 +98,21 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
         base=config.rotary_embedding_base,
         compress_pos_emb=config.compress_pos_emb,
     )
+    head = np.ascontiguousarray(np.asarray(get("lm_head.weight")).T)
+    if config.tuning.quantize_lm_head:
+        t = quantize_matrix(
+            head.astype(np.float32), detected_gs or 128, False
+        )
+        lm_head = load_quant_tensor(
+            t["qweight"], t["qzeros"], t["scales"]
+        )
+    else:
+        lm_head = jnp.asarray(head, dtype=dtype)
     params = ModelParams(
         embed=jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype),
         layers=stacked,
         norm=jnp.asarray(get("model.norm.weight"), dtype=dtype),
-        lm_head=jnp.asarray(get("lm_head.weight"), dtype=dtype).T,
+        lm_head=lm_head,
         rope_sin=sin,
         rope_cos=cos,
     )
@@ -208,6 +218,14 @@ def make_synthetic_params(
         base=config.rotary_embedding_base,
         compress_pos_emb=config.compress_pos_emb,
     )
+    if config.tuning.quantize_lm_head:
+        lm_head = qt(h, config.vocab_size)
+    else:
+        lm_head = jnp.asarray(
+            rng.standard_normal((h, config.vocab_size), dtype=np.float32)
+            * 0.02,
+            dtype=dtype,
+        )
     params = ModelParams(
         embed=jnp.asarray(
             rng.standard_normal((config.vocab_size, h), dtype=np.float32)
@@ -216,11 +234,7 @@ def make_synthetic_params(
         ),
         layers=stacked,
         norm=jnp.ones((h,), dtype),
-        lm_head=jnp.asarray(
-            rng.standard_normal((h, config.vocab_size), dtype=np.float32)
-            * 0.02,
-            dtype=dtype,
-        ),
+        lm_head=lm_head,
         rope_sin=sin,
         rope_cos=cos,
     )

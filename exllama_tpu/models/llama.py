@@ -208,9 +208,14 @@ def forward_chunk(
     if last_token_only:
         h = h[:, -1:, :]
     h = rms_norm(h, params.norm, eps)
-    logits = jnp.dot(
-        h, params.lm_head, preferred_element_type=jnp.float32
-    )
+    if isinstance(params.lm_head, QuantTensor):
+        logits = q4_matmul(h, params.lm_head, impl=matmul_impl).astype(
+            jnp.float32
+        )
+    else:
+        logits = jnp.dot(
+            h, params.lm_head, preferred_element_type=jnp.float32
+        )
     return logits, new_kv
 
 

@@ -115,11 +115,17 @@ def param_shardings(params, mesh: Mesh):
         )
         for lp in params.layers
     )
+    head = params.lm_head
+    head_spec = (
+        spec_for(head, "out")
+        if isinstance(head, QuantTensor)
+        else P(None, "tp")            # logits sharded over vocab
+    )
     specs = ModelParams(
         embed=P(None, None),          # replicated: lookup stays local
         layers=layer_specs,
         norm=P(None),
-        lm_head=P(None, "tp"),        # logits sharded over vocab
+        lm_head=head_spec,
         rope_sin=P(None, None),
         rope_cos=P(None, None),
     )

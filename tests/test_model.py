@@ -139,3 +139,47 @@ def test_pallas_interpret_model_matches_xla():
     cache2 = ExLlamaCache(model2)
     got = np.asarray(model2.forward(ids, cache2))
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_quantized_lm_head_close_to_bf16_head():
+    """tuning.quantize_lm_head swaps the fp/bf16 head for a 4-bit one; with
+    the SAME head weights the logits must stay within 4-bit quantization
+    error of the dense head."""
+    import dataclasses
+
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.formats.gptq import (
+        QuantTensor, load_quant_tensor, quantize_matrix,
+    )
+    from exllama_tpu.models.llama import ExLlama
+
+    cfg = tiny_config()
+    m_dense = make_model(cfg)
+    head = np.asarray(m_dense.params.lm_head, np.float32)  # [h, vocab]
+    t = quantize_matrix(head, 32, False)
+    qt = load_quant_tensor(t["qweight"], t["qzeros"], t["scales"])
+    assert isinstance(qt, QuantTensor)
+    params_q = dataclasses.replace(m_dense.params, lm_head=qt)
+    m_q = ExLlama(cfg, params=params_q)
+
+    ids = (np.arange(8, dtype=np.int32)[None] * 3 + 1) % cfg.vocab_size
+    l1 = np.asarray(m_dense.forward(ids, ExLlamaCache(m_dense)), np.float32)
+    l2 = np.asarray(m_q.forward(ids, ExLlamaCache(m_q)), np.float32)
+    scale = np.abs(l1).max() + 1e-9
+    assert np.abs(l1 - l2).max() / scale < 0.15  # 4-bit head noise bound
+
+
+def test_quantize_lm_head_flag_builds_quant_tensor():
+    from exllama_tpu.formats.gptq import QuantTensor
+    from exllama_tpu.formats.loader import make_synthetic_params
+
+    cfg = tiny_config()
+    cfg.tuning.quantize_lm_head = True
+    params = make_synthetic_params(cfg, 32, False, seed=0)
+    assert isinstance(params.lm_head, QuantTensor)
+    m = ExLlama(cfg, params=params)
+    from exllama_tpu.cache import ExLlamaCache
+
+    ids = (np.arange(6, dtype=np.int32)[None] * 3 + 1) % cfg.vocab_size
+    lg = np.asarray(m.forward(ids, ExLlamaCache(m)), np.float32)
+    assert np.isfinite(lg).all()
