@@ -41,6 +41,11 @@ class TuningParams:
     # K-dimension tile for the q4 matmul kernel. Must be a multiple of the
     # quantization groupsize.
     q4_block_k: int = 512
+    # Fuse the q/k/v and gate/up projections into single kernel calls at
+    # load time (weights concatenated along output columns). The TPU
+    # analogue of the reference's q4_attn/q4_mlp launch fusion; disabled
+    # automatically for act-order checkpoints and TP-sharded meshes.
+    fuse_projections: bool = True
     # Decode-time attention length bucketing: round the attended KV length up
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).

@@ -241,8 +241,8 @@ class QuantTensor:
     """
 
     qweight: jax.Array   # int32  [K/8, N_pad]  kgroup layout
-    scales: jax.Array    # f32    [K/gs, N_pad] (0 in padded columns)
-    zscale: jax.Array    # f32    [K/gs, N_pad]
+    scales: jax.Array    # bf16   [K/gs, N_pad] (0 in padded columns)
+    zscale: jax.Array    # bf16   [K/gs, N_pad]  = (stored_zero+1)*scales
     x_map: Optional[jax.Array]  # int32 [K] or None
 
     in_features: int = dataclasses.field(metadata=dict(static=True))
@@ -258,12 +258,52 @@ class QuantTensor:
         return self.qweight.shape[1]
 
 
+def padded_n(n: int) -> int:
+    """Padded output width of an N-column tensor in the kgroup layout."""
+    return -(-n // N_ALIGN) * N_ALIGN
+
+
+def concat_quant_tensors(qts: "list[QuantTensor]") -> QuantTensor:
+    """Fuse several same-input QuantTensors into one along output columns.
+
+    The projections q/k/v (and gate/up) consume the same activation; packing
+    their weights side-by-side turns 3 (2) kernel launches into 1 — the
+    TPU-native analogue of the reference's fused q4_attn/q4_mlp megakernels
+    (cuda_func/q4_attn.cu:74-204, q4_mlp.cu:100-199), which exist for the
+    same reason (amortizing per-launch overhead). Because every part is
+    already padded to N_ALIGN, part ``i``'s columns live at
+    ``sum(padded_n(n_j) for j < i)`` in the fused output and slicing stays
+    static. Requires identical in_features/groupsize and no act-order
+    (act-order x_maps differ per tensor, so their activations would need
+    different permutations).
+
+    The fused tensor's ``out_features`` is the total padded width so the
+    matmul returns all parts (callers slice).
+    """
+    import jax.numpy as jnp
+
+    first = qts[0]
+    for qt in qts:
+        assert qt.in_features == first.in_features
+        assert qt.groupsize == first.groupsize
+        assert qt.x_map is None, "cannot fuse act-order tensors"
+    return QuantTensor(
+        qweight=jnp.concatenate([qt.qweight for qt in qts], axis=1),
+        scales=jnp.concatenate([qt.scales for qt in qts], axis=1),
+        zscale=jnp.concatenate([qt.zscale for qt in qts], axis=1),
+        x_map=None,
+        in_features=first.in_features,
+        out_features=sum(qt.qweight.shape[1] for qt in qts),
+        groupsize=first.groupsize,
+    )
+
+
 def load_quant_tensor(
     qweight: np.ndarray,
     qzeros: np.ndarray,
     scales: np.ndarray,
     g_idx: Optional[np.ndarray] = None,
-    scale_dtype=np.float32,
+    scale_dtype=None,
 ) -> QuantTensor:
     """Build a :class:`QuantTensor` from GPTQ wire-format tensors.
 
@@ -271,6 +311,14 @@ def load_quant_tensor(
     (model.py:165-169). An all-trivial g_idx (sequential groups) is treated
     as absent (reference model.py:147-149).
     """
+    if scale_dtype is None:
+        # bf16 storage halves the scale/zscale HBM stream (25% of weight
+        # bytes at g128 in f32); zscale=(z+1)*s is computed in f32 first so
+        # only the final store rounds. Kernels upcast to f32 for the
+        # partial-sum math (ops/quant.py).
+        import ml_dtypes
+
+        scale_dtype = ml_dtypes.bfloat16
     k = qweight.shape[0] * 8
     n = qweight.shape[1]
     groups = qzeros.shape[0]
@@ -303,9 +351,10 @@ def load_quant_tensor(
         q = unpack_gptq_qweight(qweight)
         if g_idx is not None:
             q, x_map = make_sequential(q, g_idx, groupsize)
-        z = unpack_gptq_qzeros(qzeros).astype(scale_dtype)
-        s = scales.astype(scale_dtype)
-        zscale = (z + 1.0) * s
+        z = unpack_gptq_qzeros(qzeros).astype(np.float32)
+        s32 = scales.astype(np.float32)
+        zscale = ((z + 1.0) * s32).astype(scale_dtype)  # round once, at store
+        s = s32.astype(scale_dtype)
         n_pad = -(-n // N_ALIGN) * N_ALIGN
         if n_pad != n:
             pad = ((0, 0), (0, n_pad - n))

@@ -85,6 +85,10 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
         )
         detected_gs = lp.q.groupsize
         detected_act = detected_act or lp.q.act_order
+        if config.tuning.fuse_projections and mesh is None:
+            from exllama_tpu.models.llama import fuse_layer_projections
+
+            lp = fuse_layer_projections(lp)  # no-op for act-order layers
         layers.append(lp)
 
     config.groupsize = detected_gs
@@ -182,8 +186,8 @@ def make_synthetic_params(
             zs[:, n:] = 0.0
         return QuantTensor(
             qweight=jnp.asarray(words),
-            scales=jnp.asarray(s),
-            zscale=jnp.asarray(zs),
+            scales=jnp.asarray(s, jnp.bfloat16),
+            zscale=jnp.asarray(zs, jnp.bfloat16),
             x_map=(
                 jnp.asarray(rng.permutation(k).astype(np.int32))
                 if act_order
@@ -198,19 +202,22 @@ def make_synthetic_params(
 
     layers = []
     for _ in range(config.num_hidden_layers):
-        layers.append(
-            LayerParams(
-                input_norm=jnp.ones((h,), dtype),
-                post_norm=jnp.ones((h,), dtype),
-                q=qt(h, qdim),
-                k=qt(h, kvdim),
-                v=qt(h, kvdim),
-                o=qt(qdim, h),
-                gate=qt(h, inter),
-                up=qt(h, inter),
-                down=qt(inter, h),
-            )
+        lp = LayerParams(
+            input_norm=jnp.ones((h,), dtype),
+            post_norm=jnp.ones((h,), dtype),
+            q=qt(h, qdim),
+            k=qt(h, kvdim),
+            v=qt(h, kvdim),
+            o=qt(qdim, h),
+            gate=qt(h, inter),
+            up=qt(h, inter),
+            down=qt(inter, h),
         )
+        if config.tuning.fuse_projections and mesh is None:
+            from exllama_tpu.models.llama import fuse_layer_projections
+
+            lp = fuse_layer_projections(lp)  # no-op for act-order layers
+        layers.append(lp)
     stacked = tuple(layers)  # per-layer arrays (see models/llama.py)
     sin, cos = rope_tables(
         config.max_seq_len,

@@ -76,6 +76,20 @@ class ExLlamaLora:
 
         cfg = model.config
         n_layers = cfg.num_hidden_layers
+
+        # Projection shapes from the config (the base QuantTensors may be
+        # fused into qkv/gateup, see models/llama.fuse_layer_projections).
+        qdim = cfg.num_attention_heads * cfg.head_dim
+        kvdim = cfg.num_key_value_heads * cfg.head_dim
+        proj_shapes = {
+            "q": (cfg.hidden_size, qdim),
+            "k": (cfg.hidden_size, kvdim),
+            "v": (cfg.hidden_size, kvdim),
+            "o": (qdim, cfg.hidden_size),
+            "gate": (cfg.hidden_size, cfg.intermediate_size),
+            "up": (cfg.hidden_size, cfg.intermediate_size),
+            "down": (cfg.intermediate_size, cfg.hidden_size),
+        }
         # per-projection dict: name -> {layer_idx: {"A": ..., "B": ...}}
         found: dict[str, dict[int, dict[str, np.ndarray]]] = {
             p: {} for p in _PROJ_NAMES
@@ -97,15 +111,15 @@ class ExLlamaLora:
             if proj not in _PROJ_NAMES or half not in ("lora_A", "lora_B"):
                 raise ValueError(f"unsupported key in {lora_path}: {key}")
 
-            target = getattr(model.params.layers[layer_idx], proj)
+            t_in, t_out = proj_shapes[proj]
             tensor = np.asarray(tensor, dtype=np.float32)
             if half == "lora_A":
                 # PEFT stores A as [r, in]; validate in_features
-                if tensor.shape[1] != target.in_features:
+                if tensor.shape[1] != t_in:
                     raise ValueError(f"incompatible shape: {key}")
             else:
                 # B as [out, r]; validate out_features
-                if tensor.shape[0] != target.out_features:
+                if tensor.shape[0] != t_out:
                     raise ValueError(f"incompatible shape: {key}")
             t = tensor.T.copy()  # → (in, r) / (r, out), reference lora.py:99
             if half == "lora_B" and self.lora_scaling != 1.0:
@@ -117,10 +131,8 @@ class ExLlamaLora:
             entries = found[proj]
             if not entries:
                 return None  # projection not adapted anywhere
-            target = getattr(model.params.layers[li], proj)
-            k_in, n_out, r = (
-                target.in_features, target.out_features, self.lora_r
-            )
+            k_in, n_out = proj_shapes[proj]
+            r = self.lora_r
             halves = entries.get(li)
             if halves is None:
                 a = np.zeros((k_in, r), np.float32)

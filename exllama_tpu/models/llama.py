@@ -37,7 +37,7 @@ import numpy as np
 
 from exllama_tpu.cache import ExLlamaCache, KVCacheState
 from exllama_tpu.config import ExLlamaConfig
-from exllama_tpu.formats.gptq import QuantTensor
+from exllama_tpu.formats.gptq import QuantTensor, padded_n
 from exllama_tpu.ops.attention import attend, update_kv_cache
 from exllama_tpu.ops.norms import rms_norm
 from exllama_tpu.ops.quant import q4_matmul
@@ -51,13 +51,18 @@ class LayerParams:
 
     input_norm: jax.Array   # [hidden]
     post_norm: jax.Array    # [hidden]
-    q: QuantTensor
-    k: QuantTensor
-    v: QuantTensor
+    q: Optional[QuantTensor]
+    k: Optional[QuantTensor]
+    v: Optional[QuantTensor]
     o: QuantTensor
-    gate: QuantTensor
-    up: QuantTensor
+    gate: Optional[QuantTensor]
+    up: Optional[QuantTensor]
     down: QuantTensor
+    # Load-time fused projections (formats/gptq.concat_quant_tensors): when
+    # set, the corresponding unfused fields above are None. The TPU analogue
+    # of the reference's q4_attn/q4_mlp launch fusion (q4_attn.cu:74-204).
+    qkv: Optional[QuantTensor] = None
+    gateup: Optional[QuantTensor] = None
 
 
 @jax.tree_util.register_dataclass
@@ -74,6 +79,26 @@ class ModelParams:
 def stack_layers(layers: list[LayerParams]) -> tuple:
     """Pack per-layer params for ModelParams.layers (a plain tuple)."""
     return tuple(layers)
+
+
+def fuse_layer_projections(lp: LayerParams) -> LayerParams:
+    """Fuse q/k/v → qkv and gate/up → gateup (single kernel calls each).
+
+    No-op (returns ``lp`` unchanged) for act-order layers, whose per-tensor
+    activation permutations prevent weight concatenation.
+    """
+    from exllama_tpu.formats.gptq import concat_quant_tensors
+
+    if lp.qkv is not None or any(
+        t.x_map is not None for t in (lp.q, lp.k, lp.v, lp.gate, lp.up)
+    ):
+        return lp
+    return dataclasses.replace(
+        lp,
+        q=None, k=None, v=None, gate=None, up=None,
+        qkv=concat_quant_tensors([lp.q, lp.k, lp.v]),
+        gateup=concat_quant_tensors([lp.gate, lp.up]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -102,17 +127,47 @@ def _decoder_layer(
 ):
     b, t, hidden = h.shape
 
+    def lora_ab(name):
+        if lora is None:
+            return None
+        return getattr(lora, name, None)
+
     def proj(x, qt, name):
-        lw = None
-        if lora is not None and getattr(lora, name, None) is not None:
-            lw = getattr(lora, name)
-        return q4_matmul(x, qt, impl=matmul_impl, lora=lw)
+        return q4_matmul(x, qt, impl=matmul_impl, lora=lora_ab(name))
+
+    def lora_add(out, x, name):
+        # Low-rank add for slices of a fused projection (same math as the
+        # fused-lora path inside q4_matmul).
+        ab = lora_ab(name)
+        if ab is None:
+            return out
+        a_, b_ = ab
+        return out + jnp.dot(
+            jnp.dot(
+                x, a_.astype(x.dtype), preferred_element_type=jnp.float32
+            ).astype(x.dtype),
+            b_.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
 
     # --- attention (reference ExLlamaAttention.forward, model.py:421-502)
     a = rms_norm(h, lp.input_norm, eps)
-    q = proj(a, lp.q, "q").reshape(b, t, cfg_heads, cfg_head_dim)
-    k = proj(a, lp.k, "k").reshape(b, t, cfg_kv_heads, cfg_head_dim)
-    v = proj(a, lp.v, "v").reshape(b, t, cfg_kv_heads, cfg_head_dim)
+    nq = cfg_heads * cfg_head_dim
+    nkv = cfg_kv_heads * cfg_head_dim
+    if lp.qkv is not None:
+        fused = q4_matmul(a, lp.qkv, impl=matmul_impl)
+        ok = padded_n(nq)
+        ov = ok + padded_n(nkv)
+        q = lora_add(fused[..., :nq], a, "q")
+        k = lora_add(fused[..., ok : ok + nkv], a, "k")
+        v = lora_add(fused[..., ov : ov + nkv], a, "v")
+    else:
+        q = proj(a, lp.q, "q")
+        k = proj(a, lp.k, "k")
+        v = proj(a, lp.v, "v")
+    q = q.reshape(b, t, cfg_heads, cfg_head_dim)
+    k = k.reshape(b, t, cfg_kv_heads, cfg_head_dim)
+    v = v.reshape(b, t, cfg_kv_heads, cfg_head_dim)
     q = apply_rope(q, rope_sin, rope_cos, positions)
     k = apply_rope(k, rope_sin, rope_cos, positions)
     kc, vc = update_kv_cache(kc, vc, k, v, past_len)
@@ -122,8 +177,15 @@ def _decoder_layer(
 
     # --- MLP (reference ExLlamaMLP.forward, model.py:266-273)
     a = rms_norm(h, lp.post_norm, eps)
-    g = proj(a, lp.gate, "gate")
-    u = proj(a, lp.up, "up")
+    if lp.gateup is not None:
+        ni = lp.down.in_features
+        fused = q4_matmul(a, lp.gateup, impl=matmul_impl)
+        ou = padded_n(ni)
+        g = lora_add(fused[..., :ni], a, "gate")
+        u = lora_add(fused[..., ou : ou + ni], a, "up")
+    else:
+        g = proj(a, lp.gate, "gate")
+        u = proj(a, lp.up, "up")
     h = h + proj(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                  lp.down, "down")
     return h, kc, vc

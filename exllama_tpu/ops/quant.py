@@ -88,8 +88,8 @@ def _q4_matmul_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
 def _q4_gemv_kernel(
     x_ref,        # [bm, bk]           activation tile (bf16/f32)
     qw_ref,       # [bk/8, bn]         packed words (int32, kgroup)
-    s_ref,        # [1, bk/gs, bn]     scales (f32)
-    z_ref,        # [1, bk/gs, bn]     zscale (f32)
+    s_ref,        # [1, bk/gs, bn]     scales (bf16 storage)
+    z_ref,        # [1, bk/gs, bn]     zscale (bf16 storage)
     out_ref,      # [bm, bn]
     acc_ref,      # [bm, bn] f32 scratch
     *,
@@ -106,8 +106,8 @@ def _q4_gemv_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk/2, bn]
-    s = s_ref[0]
-    z = z_ref[0]
+    s = s_ref[0].astype(jnp.float32)              # stored bf16, compute f32
+    z = z_ref[0].astype(jnp.float32)
     half = groupsize // 2
     for g in range(block_k // groupsize):
         blk = b8[g * half : (g + 1) * half, :]    # [gs/2, bn]
@@ -148,8 +148,8 @@ def _q4_deqw_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
-    s = s_ref[0]
-    z = z_ref[0]
+    s = s_ref[0].astype(jnp.float32)              # stored bf16, compute f32
+    z = z_ref[0].astype(jnp.float32)
     half = groupsize // 2
     parts = []
     for g in range(block_k // groupsize):
@@ -182,7 +182,7 @@ def _vmem_bytes(bk: int, bn: int, bm: int, groupsize: int) -> int:
     return (
         (bk // 8) * bn * 4 * 2       # qweight block, int32, 2 buffers
         + bm * bk * 2 * 2            # x block, bf16, 2 buffers
-        + (bk // groupsize) * bn * 4 * 4   # scales + zscale blocks
+        + (bk // groupsize) * bn * 2 * 4   # scales + zscale blocks (bf16)
         + bm * bn * 4                # f32 accumulator
         + bm * bn * 2 * 2            # out block
     )
@@ -267,7 +267,7 @@ def _q4_matmul_pallas_call(
     bytes_accessed = (
         k * n_pad // 2
         + m * k * x2.dtype.itemsize
-        + 2 * (k // groupsize) * n_pad * 4
+        + 2 * (k // groupsize) * n_pad * scales.dtype.itemsize
         + m * n_pad * jnp.dtype(out_dtype).itemsize
     )
     return pl.pallas_call(
@@ -315,7 +315,7 @@ def _q4_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool) -> jax.Arr
 
     kind = "gemv" if m <= GEMV_MAX_M else "deqw"
     n_pad = qt.qweight.shape[1]
-    bn = _choose_block_n(n_pad)
+    bn = _choose_block_n(n_pad)  # 1024 beats 2048 for both kinds (measured)
     bk = _choose_block_k(k, qt.groupsize, bn, bm=bm)
     out = _q4_matmul_pallas_call(
         x2,

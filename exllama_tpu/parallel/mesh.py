@@ -101,6 +101,13 @@ def param_shardings(params, mesh: Mesh):
         ok = _can_shard_out(qt, tp) if want == "out" else _can_shard_in(qt, tp)
         return _quant_specs(qt, want if ok else "none")
 
+    if any(lp.qkv is not None or lp.gateup is not None for lp in params.layers):
+        raise ValueError(
+            "TP sharding requires unfused projections: load with "
+            "tuning.fuse_projections=False (fused qkv/gateup column blocks "
+            "would straddle shard boundaries)"
+        )
+
     layer_specs = tuple(
         LayerParams(
             input_norm=P(None),

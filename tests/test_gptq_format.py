@@ -124,6 +124,7 @@ def test_quantize_load_dequantize_roundtrip(act_order, groupsize):
         tensors["qzeros"],
         tensors["scales"],
         tensors.get("g_idx"),
+        scale_dtype=np.float32,  # exact-layout check; bf16 default below
     )
     assert qt.in_features == k and qt.out_features == n
     assert qt.groupsize == groupsize
@@ -157,3 +158,26 @@ def test_quantize_load_dequantize_roundtrip(act_order, groupsize):
     # ~13% rms weight error; the matvec should stay in that regime.
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.2, rel
+
+
+def test_bf16_scale_storage_error_bound():
+    """Default (bf16) scale storage: relative dequant error bounded by
+    bf16 rounding (2^-9), far under 4-bit quantization noise."""
+    rng = np.random.default_rng(9)
+    k, n = 256, 512
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    tensors = gptq.quantize_matrix(w, 128, False, rng)
+    qt32 = gptq.load_quant_tensor(
+        tensors["qweight"], tensors["qzeros"], tensors["scales"],
+        scale_dtype=np.float32,
+    )
+    qt16 = gptq.load_quant_tensor(
+        tensors["qweight"], tensors["qzeros"], tensors["scales"]
+    )
+    import ml_dtypes
+
+    assert np.asarray(qt16.scales).dtype == ml_dtypes.bfloat16
+    w32 = gptq.dequantize(qt32)
+    w16 = gptq.dequantize(qt16)
+    denom = np.abs(w32).max()
+    assert np.abs(w16 - w32).max() / denom < 2 ** -7

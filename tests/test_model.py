@@ -183,3 +183,30 @@ def test_quantize_lm_head_flag_builds_quant_tensor():
     ids = (np.arange(6, dtype=np.int32)[None] * 3 + 1) % cfg.vocab_size
     lg = np.asarray(m.forward(ids, ExLlamaCache(m)), np.float32)
     assert np.isfinite(lg).all()
+
+
+def test_fused_projections_match_unfused():
+    """Fused qkv/gateup must be bit-identical to per-projection matmuls
+    in the xla impl (same dequantized weights, same dot contractions)."""
+    cfg_f = tiny_config()
+    cfg_u = tiny_config()
+    cfg_u.tuning.fuse_projections = False
+    params_f = make_synthetic_params(cfg_f, 32, False, seed=3)
+    params_u = make_synthetic_params(cfg_u, 32, False, seed=3)
+    assert params_f.layers[0].qkv is not None
+    assert params_f.layers[0].q is None
+    assert params_u.layers[0].qkv is None
+
+    m_f = ExLlama(cfg_f, params=params_f)
+    m_u = ExLlama(cfg_u, params=params_u)
+    ids = (np.arange(9, dtype=np.int32)[None] * 5 + 2) % cfg_f.vocab_size
+    lf = np.asarray(m_f.forward(ids, ExLlamaCache(m_f), last_id_only=False))
+    lu = np.asarray(m_u.forward(ids, ExLlamaCache(m_u), last_id_only=False))
+    np.testing.assert_allclose(lf, lu, rtol=2e-2, atol=2e-2)
+
+
+def test_fusion_skipped_for_act_order():
+    cfg = tiny_config()
+    params = make_synthetic_params(cfg, 32, act_order=True, seed=1)
+    assert params.layers[0].qkv is None
+    assert params.layers[0].q is not None

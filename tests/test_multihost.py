@@ -30,6 +30,7 @@ def cfg_small():
     c.max_seq_len = 32
     c.max_input_len = 32
     c.tuning.matmul_impl = "xla"
+    c.tuning.fuse_projections = False  # TP shards per-projection columns
     c.tuning.attn_len_bucket = 16
     return c
 
