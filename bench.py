@@ -148,6 +148,22 @@ def main():
         times.append(time.perf_counter() - t0)
     best_ts = decode_len / min(times)
 
+    # ---- worst-ctx decode again with the int8 KV cache option
+    # (tuning.kv_cache_dtype="int8"; halves the KV stream — TPU-native
+    # feature, no reference counterpart, so reported as an extra)
+    cache_q = ExLlamaCache(model, dtype=jnp.int8)
+    cache_q.current_seq_len = 0
+    model.forward(ids, cache_q, preprocess_only=True)
+    kvq, tok = decode_n(model.params, cache_q.state, tok0, past)
+    sync(tok)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kvq, tok = decode_n(model.params, kvq, tok0, past)
+        sync(tok)
+        times.append(time.perf_counter() - t0)
+    int8kv_ts = decode_len / min(times)
+
     # HBM-roofline framing: bytes per decode token at full context over the
     # measured stream bandwidth; the reference runs 64% of ITS roofline
     # (140 t/s * 4.6GB/token / 1008 GB/s on a 4090) — per-chip efficiency is
@@ -168,6 +184,7 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(vs, 3),
         "best_decode_tok_s": round(best_ts, 2),
+        "int8kv_decode_tok_s": round(int8kv_ts, 2),
         "prompt_tok_s": round(prompt_ts, 1),
         "roofline_tok_s": round(roofline_ts, 1),
         "roofline_frac": round(decode_ts / roofline_ts, 3),

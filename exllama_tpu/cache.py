@@ -34,16 +34,32 @@ class KVCacheState:
     """Device half of the cache: per-layer KV arrays.
 
     ``k`` and ``v`` are tuples (length L) of [B, Hkv, S_max, D] arrays.
+    For int8 caches (TuningParams.kv_cache_dtype == "int8", a TPU-native
+    option with no reference counterpart — the reference is fp16-only,
+    model.py:576-577) ``k_scale``/``v_scale`` hold per-layer [B, Hkv, S_max]
+    f32 per-token-per-head quantization scales; otherwise they are None.
+    The sequence axis is axis 2 in every array, so cache ops (roll, slot
+    install, beam gathers) transform all four tuples uniformly.
     """
 
     k: tuple
     v: tuple
+    k_scale: "tuple | None" = None
+    v_scale: "tuple | None" = None
+
+
+def _map_tuple(fn, t):
+    return None if t is None else tuple(fn(x) for x in t)
 
 
 def _map_state(fn, state: KVCacheState) -> KVCacheState:
+    """Apply ``fn`` to every per-layer array (KV and scales). ``fn`` must be
+    rank-agnostic over the trailing dims (axes 0..2 are B, Hkv, S for all)."""
     return KVCacheState(
         k=tuple(fn(x) for x in state.k),
         v=tuple(fn(x) for x in state.v),
+        k_scale=_map_tuple(fn, state.k_scale),
+        v_scale=_map_tuple(fn, state.v_scale),
     )
 
 
@@ -62,15 +78,18 @@ class ExLlamaCache:
         max_seq_len: int | None = None,
         copy_from: "ExLlamaCache | None" = None,
         shape: tuple[int, int, int, int, int] | None = None,
-        dtype=jnp.bfloat16,
+        dtype=None,
     ):
         if copy_from is not None:
             self.batch_size = copy_from.batch_size
             self.max_seq_len = copy_from.max_seq_len
             self.shape = copy_from.shape
             self.dtype = copy_from.dtype
+            st = copy_from.state
             self.state = KVCacheState(
-                tuple(copy_from.state.k), tuple(copy_from.state.v)
+                tuple(st.k), tuple(st.v),
+                k_scale=None if st.k_scale is None else tuple(st.k_scale),
+                v_scale=None if st.v_scale is None else tuple(st.v_scale),
             )
             self.current_seq_len = copy_from.current_seq_len
             return
@@ -86,15 +105,37 @@ class ExLlamaCache:
                 cfg.num_key_value_heads,
                 cfg.head_dim,
             )
+            if dtype is None and cfg.tuning.kv_cache_dtype == "int8":
+                dtype = jnp.int8
+        if dtype is None:
+            dtype = jnp.bfloat16
         assert shape is not None, "need model=, copy_from= or shape="
         self.batch_size = shape[1]
         self.max_seq_len = shape[2]
         self.shape = shape
         self.dtype = dtype
         layer_shape = (shape[1], shape[3], shape[2], shape[4])  # B,Hkv,S,D
+        scale_shape = layer_shape[:3]                           # B,Hkv,S
+        quantized = jnp.dtype(dtype) == jnp.int8
         self.state = KVCacheState(
             k=tuple(jnp.zeros(layer_shape, dtype) for _ in range(shape[0])),
             v=tuple(jnp.zeros(layer_shape, dtype) for _ in range(shape[0])),
+            k_scale=(
+                tuple(
+                    jnp.zeros(scale_shape, jnp.float32)
+                    for _ in range(shape[0])
+                )
+                if quantized
+                else None
+            ),
+            v_scale=(
+                tuple(
+                    jnp.zeros(scale_shape, jnp.float32)
+                    for _ in range(shape[0])
+                )
+                if quantized
+                else None
+            ),
         )
         self.current_seq_len = 0
 
@@ -132,29 +173,33 @@ class ExLlamaCache:
         batch row ``from_row`` into ``target`` at ``to_column``/``to_row``,
         broadcasting over rows when from_rows == 1 < to_rows."""
         assert from_columns == to_columns or from_columns == 1
-        hkv, d = self.shape[3], self.shape[4]
+        hkv = self.shape[3]
 
         def copy_layer(src, dst):
-            s = jax.lax.dynamic_slice(
-                src,
-                (from_row, 0, from_column, 0),
-                (from_rows, hkv, from_columns, d),
-            )
+            # rank-generic: KV arrays are [B, Hkv, S, D], scale arrays
+            # [B, Hkv, S]; axes 0..2 are handled identically.
+            sizes = (from_rows, hkv, from_columns) + src.shape[3:]
+            starts = (from_row, 0, from_column) + (0,) * (src.ndim - 3)
+            s = jax.lax.dynamic_slice(src, starts, sizes)
             if from_rows == 1 and to_rows > 1:
                 s = jnp.broadcast_to(s, (to_rows,) + s.shape[1:])
             if from_columns == 1 and to_columns > 1:
                 s = jnp.broadcast_to(
                     s, s.shape[:2] + (to_columns,) + s.shape[3:]
                 )
+            dst_starts = (to_row, 0, to_column) + (0,) * (src.ndim - 3)
             return jax.lax.dynamic_update_slice(
-                dst, s.astype(dst.dtype), (to_row, 0, to_column, 0)
+                dst, s.astype(dst.dtype), dst_starts
             )
 
+        def copy_tuple(srcs, dsts):
+            if srcs is None:
+                return None
+            return tuple(copy_layer(s, t) for s, t in zip(srcs, dsts))
+
         target.state = KVCacheState(
-            k=tuple(
-                copy_layer(s, t) for s, t in zip(self.state.k, target.state.k)
-            ),
-            v=tuple(
-                copy_layer(s, t) for s, t in zip(self.state.v, target.state.v)
-            ),
+            k=copy_tuple(self.state.k, target.state.k),
+            v=copy_tuple(self.state.v, target.state.v),
+            k_scale=copy_tuple(self.state.k_scale, target.state.k_scale),
+            v_scale=copy_tuple(self.state.v_scale, target.state.v_scale),
         )

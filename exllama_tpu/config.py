@@ -41,6 +41,11 @@ class TuningParams:
     # K-dimension tile for the q4 matmul kernel. Must be a multiple of the
     # quantization groupsize.
     q4_block_k: int = 512
+    # KV cache storage: "bf16" (reference parity — its cache is fp16,
+    # model.py:576-577) or "int8" (per-token-per-head symmetric quantization
+    # with f32 scales; halves the KV stream that dominates long-context
+    # decode). No reference counterpart.
+    kv_cache_dtype: str = "bf16"
     # Fuse the q/k/v and gate/up projections into single kernel calls at
     # load time (weights concatenated along output columns). The TPU
     # analogue of the reference's q4_attn/q4_mlp launch fusion; disabled

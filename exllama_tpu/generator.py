@@ -459,7 +459,7 @@ class ExLlamaGenerator:
         if self.sequence is None:
             return self.gen_single_token()
         assert self.in_beam_search
-        from exllama_tpu.cache import ExLlamaCache, KVCacheState
+        from exllama_tpu.cache import ExLlamaCache, KVCacheState, _map_state
 
         n_beams = s.beams
         max_lookahead = min(
@@ -530,9 +530,8 @@ class ExLlamaGenerator:
                 # Gather cache rows by parent beam (device op).
                 st = self._beam_cache.state
                 idx = jnp.asarray(parents)
-                self._beam_cache.state = KVCacheState(
-                    k=tuple(jnp.take(x, idx, axis=0) for x in st.k),
-                    v=tuple(jnp.take(x, idx, axis=0) for x in st.v),
+                self._beam_cache.state = _map_state(
+                    lambda x: jnp.take(x, idx, axis=0), st
                 )
                 self._beam_seqs = np.concatenate(
                     [self._beam_seqs[parents], tokens[:, None]], axis=1
@@ -553,9 +552,8 @@ class ExLlamaGenerator:
         keep = np.concatenate([[best], keep[keep != best]]).astype(np.int64)
         st = self._beam_cache.state
         idx = jnp.asarray(keep)
-        self._beam_cache.state = KVCacheState(
-            k=tuple(jnp.take(x, idx, axis=0) for x in st.k),
-            v=tuple(jnp.take(x, idx, axis=0) for x in st.v),
+        self._beam_cache.state = _map_state(
+            lambda x: jnp.take(x, idx, axis=0), st
         )
         self._beam_seqs = self._beam_seqs[keep][:, 1:]
         self._beam_lps = self._beam_lps[keep]

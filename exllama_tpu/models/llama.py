@@ -108,8 +108,10 @@ def fuse_layer_projections(lp: LayerParams) -> LayerParams:
 def _decoder_layer(
     h: jax.Array,               # [B, T, hidden]
     lp: LayerParams,            # single layer
-    kc: jax.Array,              # [B, Hkv, S, D]
+    kc: jax.Array,              # [B, Hkv, S, D] (bf16, or int8 with scales)
     vc: jax.Array,
+    ksc,                        # [B, Hkv, S] f32 or None
+    vsc,
     *,
     cfg_heads: int,
     cfg_kv_heads: int,
@@ -170,9 +172,9 @@ def _decoder_layer(
     v = v.reshape(b, t, cfg_kv_heads, cfg_head_dim)
     q = apply_rope(q, rope_sin, rope_cos, positions)
     k = apply_rope(k, rope_sin, rope_cos, positions)
-    kc, vc = update_kv_cache(kc, vc, k, v, past_len)
+    kc, vc, ksc, vsc = update_kv_cache(kc, vc, k, v, past_len, ksc, vsc)
     attn = attend(q, kc, vc, past_len, attend_len, input_mask,
-                  impl=attn_impl)
+                  impl=attn_impl, k_scale=ksc, v_scale=vsc)
     h = h + proj(attn.reshape(b, t, cfg_heads * cfg_head_dim), lp.o, "o")
 
     # --- MLP (reference ExLlamaMLP.forward, model.py:266-273)
@@ -188,7 +190,7 @@ def _decoder_layer(
         u = proj(a, lp.up, "up")
     h = h + proj(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                  lp.down, "down")
-    return h, kc, vc
+    return h, kc, vc, ksc, vsc
 
 
 @functools.partial(
@@ -256,13 +258,26 @@ def forward_chunk(
         attn_impl=attn_impl,
     )
 
-    k_new, v_new = [], []
+    quantized_kv = kv.k_scale is not None
+    k_new, v_new, ks_new, vs_new = [], [], [], []
     for li, lp in enumerate(params.layers):
         lw = None if lora is None else lora[li]
-        h, kc, vc = layer_fn(h, lp, kv.k[li], kv.v[li], lora=lw)
+        h, kc, vc, ksc, vsc = layer_fn(
+            h, lp, kv.k[li], kv.v[li],
+            kv.k_scale[li] if quantized_kv else None,
+            kv.v_scale[li] if quantized_kv else None,
+            lora=lw,
+        )
         k_new.append(kc)
         v_new.append(vc)
-    new_kv = KVCacheState(k=tuple(k_new), v=tuple(v_new))
+        ks_new.append(ksc)
+        vs_new.append(vsc)
+    new_kv = KVCacheState(
+        k=tuple(k_new),
+        v=tuple(v_new),
+        k_scale=tuple(ks_new) if quantized_kv else None,
+        v_scale=tuple(vs_new) if quantized_kv else None,
+    )
 
     if preprocess_only:
         return None, new_kv

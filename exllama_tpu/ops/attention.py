@@ -37,44 +37,66 @@ NEG_INF = -1e9  # additive mask value (reference uses fp16 -65504, model.py:1014
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8 quantization of [B, T, Hkv, D] rows.
+
+    Returns (int8 values, f32 scales [B, T, Hkv]). Each head's D-vector gets
+    its own scale = amax/127, so attention error stays bounded per row.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)                 # [B, T, Hkv]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _write_at(cache: jax.Array, new: jax.Array, past_len: jax.Array):
+    """dynamic_update_slice of [B, Hkv, T, ...] into [B, Hkv, S, ...] at
+    sequence offset past_len (scalar, or [B] for per-slot cursors)."""
+    if past_len.ndim == 1:
+        def row(c, n, p):
+            starts = (jnp.zeros((), jnp.int32), p.astype(jnp.int32)) + (
+                jnp.zeros((), jnp.int32),
+            ) * (c.ndim - 2)
+            return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), starts)
+
+        return jax.vmap(row)(cache, new, past_len)
+    z = jnp.zeros((), jnp.int32)
+    starts = (z, z, past_len.astype(jnp.int32)) + (z,) * (cache.ndim - 3)
+    return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), starts)
+
+
 def update_kv_cache(
-    k_cache: jax.Array,   # [B, Hkv, S_max, D]
+    k_cache: jax.Array,   # [B, Hkv, S_max, D] bf16 or int8
     v_cache: jax.Array,
     new_k: jax.Array,     # [B, T, Hkv, D]
     new_v: jax.Array,
     past_len: jax.Array,  # scalar int32, or [B] for per-slot cursors
-) -> tuple[jax.Array, jax.Array]:
+    k_scale: Optional[jax.Array] = None,   # [B, Hkv, S_max] f32 (int8 cache)
+    v_scale: Optional[jax.Array] = None,
+):
     """Write T new KV rows at position past_len (functional update).
 
     Analogue of the reference's cache write (model.py:440-443 and
     update_cache_kernel, q4_attn.cu:19-72). Under jit with donated cache
     buffers XLA performs this in place. A [B]-shaped past_len writes each
-    batch row at its own offset (continuous-batching slots).
+    batch row at its own offset (continuous-batching slots). For int8 caches
+    the rows are quantized per (token, head) and the scale strips are
+    written alongside. Returns (k_cache, v_cache, k_scale, v_scale) with
+    None scales for bf16 caches.
     """
-    nk = jnp.swapaxes(new_k, 1, 2)  # [B, Hkv, T, D]
-    nv = jnp.swapaxes(new_v, 1, 2)
-    if past_len.ndim == 1:
-        def row(kc, vc, k1, v1, p):
-            z = jnp.zeros((), jnp.int32)
-            kc = jax.lax.dynamic_update_slice(
-                kc, k1.astype(kc.dtype), (z, p.astype(jnp.int32), z)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                vc, v1.astype(vc.dtype), (z, p.astype(jnp.int32), z)
-            )
-            return kc, vc
+    if k_scale is not None:
+        qk, sk = quantize_kv_rows(new_k)
+        qv, sv = quantize_kv_rows(new_v)
+        k_cache = _write_at(k_cache, jnp.swapaxes(qk, 1, 2), past_len)
+        v_cache = _write_at(v_cache, jnp.swapaxes(qv, 1, 2), past_len)
+        k_scale = _write_at(k_scale, jnp.swapaxes(sk, 1, 2), past_len)
+        v_scale = _write_at(v_scale, jnp.swapaxes(sv, 1, 2), past_len)
+        return k_cache, v_cache, k_scale, v_scale
 
-        return jax.vmap(row)(k_cache, v_cache, nk, nv, past_len)
-
-    z = jnp.zeros((), jnp.int32)
-    start = (z, z, past_len.astype(jnp.int32), z)
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, nk.astype(k_cache.dtype), start
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, nv.astype(v_cache.dtype), start
-    )
-    return k_cache, v_cache
+    k_cache = _write_at(k_cache, jnp.swapaxes(new_k, 1, 2), past_len)
+    v_cache = _write_at(v_cache, jnp.swapaxes(new_v, 1, 2), past_len)
+    return k_cache, v_cache, None, None
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +110,8 @@ def attend_xla(
     past_len: jax.Array,   # scalar or [B]
     attend_len: int,
     input_mask: Optional[jax.Array] = None,  # [B, S_max] bool, True = valid
+    k_scale: Optional[jax.Array] = None,     # [B, Hkv, S_max] f32
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, t, h, d = q.shape
     hkv = k_cache.shape[1]
@@ -95,6 +119,13 @@ def attend_xla(
 
     k = k_cache[:, :, :attend_len]
     v = v_cache[:, :, :attend_len]
+    if k_scale is not None:
+        k = (
+            k.astype(jnp.float32) * k_scale[:, :, :attend_len, None]
+        ).astype(q.dtype)
+        v = (
+            v.astype(jnp.float32) * v_scale[:, :, :attend_len, None]
+        ).astype(q.dtype)
 
     qf = q.reshape(b, t, hkv, g, d)
     scale = 1.0 / (d ** 0.5)
@@ -131,8 +162,10 @@ def attend_xla(
 def _flash_kernel(
     past_ref,    # SMEM [B, 1] int32
     q_ref,       # [1, 1, R, D]    R = G * bq query rows for this kv head
-    k_ref,       # [1, 1, bk, D]
+    k_ref,       # [1, 1, bk, D]   bf16, or int8 with ks_ref scales
     v_ref,       # [1, 1, bk, D]
+    ks_ref,      # [1, 1, 1, bk] f32 per-row K scales (int8 cache) or None
+    vs_ref,      # [1, 1, 1, bk] f32 per-row V scales or None
     bias_ref,    # [1, 1, bk] f32 additive padding bias (0 / NEG) or None
     o_ref,       # [1, 1, R, D]
     m_scr,       # [R, 128] f32
@@ -167,10 +200,14 @@ def _flash_kernel(
     def _():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
+        if k.dtype == jnp.int8:
+            k = k.astype(jnp.bfloat16)  # raw ints, exact in bf16 (<=127)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, bk]
+        if ks_ref is not None:
+            s = s * ks_ref[0, 0]        # [1, bk] f32 per-row K scales
         s = s * scale
         s_pos = si * bk + jax.lax.broadcasted_iota(jnp.int32, (r, bk), 1)
         ok = (s_pos <= past + t_of_row) & (t_of_row < t_total)
@@ -187,6 +224,10 @@ def _flash_kernel(
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
         v = v_ref[0, 0]
+        if v.dtype == jnp.int8:
+            # fold the per-row V scale into p before the contraction
+            p = p * vs_ref[0, 0]
+            v = v.astype(jnp.bfloat16)
         o_curr = jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )  # [R, D]
@@ -209,6 +250,8 @@ def _attend_flash_padded(
     v_cache: jax.Array,
     past_b: jax.Array,    # [B, 1] int32
     bias: Optional[jax.Array],  # [B, S_max] f32 or None
+    k_scale: Optional[jax.Array],  # [B, Hkv, 1, S_max] f32 or None
+    v_scale: Optional[jax.Array],
     *,
     attend_len: int,
     t_total: int,
@@ -254,6 +297,16 @@ def _attend_flash_padded(
                      memory_space=pltpu.VMEM),
     ]
     args = [qr, k_cache, v_cache]
+    have_scales = k_scale is not None
+    if have_scales:
+        for sc in (k_scale, v_scale):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, bk), lambda b, h, qi, si, *_: (b, h, 0, si),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(sc)
     if bias is not None:
         in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda b, h, qi, si, *_: (b, 0, si),
@@ -262,13 +315,16 @@ def _attend_flash_padded(
         args.append(bias)
 
     def kern(past_ref, q_ref, k_ref, v_ref, *rest):
+        rest = list(rest)
+        ks_ref = vs_ref = bias_ref = None
+        if have_scales:
+            ks_ref = rest.pop(0)
+            vs_ref = rest.pop(0)
         if bias is not None:
-            bias_ref, o_ref, m, l, acc = rest
-        else:
-            (o_ref, m, l, acc) = rest
-            bias_ref = None
-        return kernel(past_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-                      m, l, acc)
+            bias_ref = rest.pop(0)
+        o_ref, m, l, acc = rest
+        return kernel(past_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                      bias_ref, o_ref, m, l, acc)
 
     return pl.pallas_call(
         kern,
@@ -302,6 +358,8 @@ def attend_flash(
     past_len: jax.Array,
     attend_len: int,
     input_mask: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,   # [B, Hkv, S_max] f32
+    v_scale: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     b, t, h, d = q.shape
@@ -327,8 +385,12 @@ def attend_flash(
             input_mask[:, :attend_len], jnp.float32(0), jnp.float32(NEG_INF)
         )[:, None, :]  # [B, 1, S] — sublane-legal blocks for any B
 
+    # [B, Hkv, S] → [B, Hkv, 1, S]: the singleton sublane axis makes the
+    # kernel's (1, 1, 1, bk) scale blocks Mosaic-legal (see verify skill).
+    ks4 = None if k_scale is None else k_scale[:, :, None, :]
+    vs4 = None if v_scale is None else v_scale[:, :, None, :]
     out = _attend_flash_padded(
-        qr, k_cache, v_cache, past_b, bias,
+        qr, k_cache, v_cache, past_b, bias, ks4, vs4,
         attend_len=attend_len, t_total=t, g=g, interpret=interpret,
     )
     out = out[:, :, : t * g, :]
@@ -344,6 +406,8 @@ def attend(
     attend_len: int,       # static: read cache[:, :, :attend_len]
     input_mask: Optional[jax.Array] = None,  # [B, S_max] bool, True = valid
     impl: str = "auto",
+    k_scale: Optional[jax.Array] = None,     # [B, Hkv, S_max] f32 (int8 KV)
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked causal GQA attention. Returns [B, T, H, D] in q.dtype.
 
@@ -351,7 +415,8 @@ def attend(
     (and s < attend_len, and input_mask[b, s] if given — the reference's
     left-padding mask for batched generation, model.py:1014-1033).
     A [B]-shaped past_len gives each row its own cursor (continuous
-    batching slots).
+    batching slots). int8 caches pass per-row scales; both impls dequantize
+    on the fly (the kernel inside its KV tiles).
     """
     if impl == "auto":
         # flash kernel assumes D == lane width; odd head dims (e.g. 100 on
@@ -364,15 +429,17 @@ def attend(
         )
     if impl == "xla":
         return attend_xla(
-            q, k_cache, v_cache, past_len, attend_len, input_mask
+            q, k_cache, v_cache, past_len, attend_len, input_mask,
+            k_scale, v_scale,
         )
     if impl == "flash":
         return attend_flash(
-            q, k_cache, v_cache, past_len, attend_len, input_mask
+            q, k_cache, v_cache, past_len, attend_len, input_mask,
+            k_scale, v_scale,
         )
     if impl == "flash_interpret":
         return attend_flash(
             q, k_cache, v_cache, past_len, attend_len, input_mask,
-            interpret=True,
+            k_scale, v_scale, interpret=True,
         )
     raise ValueError(f"unknown attention impl: {impl}")

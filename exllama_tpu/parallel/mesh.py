@@ -158,8 +158,15 @@ def shard_cache(cache, mesh: Mesh):
     from exllama_tpu.cache import KVCacheState
 
     sh = cache_sharding(mesh)
+    sh3 = NamedSharding(mesh, P("dp", "tp", None))  # int8-cache scale strips
+
+    def put(t, s):
+        return None if t is None else tuple(jax.device_put(x, s) for x in t)
+
     cache.state = KVCacheState(
-        k=tuple(jax.device_put(x, sh) for x in cache.state.k),
-        v=tuple(jax.device_put(x, sh) for x in cache.state.v),
+        k=put(cache.state.k, sh),
+        v=put(cache.state.v, sh),
+        k_scale=put(cache.state.k_scale, sh3),
+        v_scale=put(cache.state.v_scale, sh3),
     )
     return cache

@@ -137,16 +137,23 @@ def _install_slot(kv: KVCacheState, scratch: KVCacheState, slot,
     z = jnp.zeros((), jnp.int32)
 
     def install(dst, src):
-        s = jax.lax.dynamic_slice(
-            src, (z, z, z, z), (1, src.shape[1], copy_len, src.shape[3])
-        )
+        # rank-generic: KV [B, Hkv, S, D] and int8-cache scales [B, Hkv, S]
+        sizes = (1, src.shape[1], copy_len) + src.shape[3:]
+        s = jax.lax.dynamic_slice(src, (z,) * src.ndim, sizes)
         return jax.lax.dynamic_update_slice(
-            dst, s.astype(dst.dtype), (slot, z, z, z)
+            dst, s.astype(dst.dtype), (slot,) + (z,) * (src.ndim - 1)
         )
 
+    def install_tuple(dsts, srcs):
+        if dsts is None:
+            return None
+        return tuple(install(d, s) for d, s in zip(dsts, srcs))
+
     return KVCacheState(
-        k=tuple(install(d, s) for d, s in zip(kv.k, scratch.k)),
-        v=tuple(install(d, s) for d, s in zip(kv.v, scratch.v)),
+        k=install_tuple(kv.k, scratch.k),
+        v=install_tuple(kv.v, scratch.v),
+        k_scale=install_tuple(kv.k_scale, scratch.k_scale),
+        v_scale=install_tuple(kv.v_scale, scratch.v_scale),
     )
 
 

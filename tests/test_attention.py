@@ -64,13 +64,13 @@ def test_update_kv_cache_layout():
     rng = np.random.default_rng(0)
     nk = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.bfloat16)
     nv = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.bfloat16)
-    kc2, vc2 = update_kv_cache(kc, vc, nk, nv, jnp.int32(5))
+    kc2, vc2, _, _ = update_kv_cache(kc, vc, nk, nv, jnp.int32(5))
     np.testing.assert_array_equal(
         np.asarray(kc2[:, :, 5:9], np.float32),
         np.asarray(jnp.swapaxes(nk, 1, 2), np.float32),
     )
     # per-row cursors
-    kc3, vc3 = update_kv_cache(
+    kc3, vc3, _, _ = update_kv_cache(
         kc, vc, nk, nv, jnp.asarray([2, 9], jnp.int32)
     )
     np.testing.assert_array_equal(
