@@ -140,5 +140,99 @@ def main():
         log(f"{name:16s}: {ms:6.3f} ms/tok  ({1e3/ms:6.1f} tok/s)")
 
 
+def prefill_main():
+    """Prefill ablation: python .bench_ablate.py --prefill [variants...]"""
+    variants = sys.argv[2:] or ["full", "attend", "mlp", "qkv", "norms+rope"]
+    model = B.build_model(32)
+    cfg = model.config
+    PLEN = 1920
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, size=(1, PLEN)).astype(np.int32)
+    )
+
+    def sync(x):
+        return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+    for name in variants:
+        ab = frozenset() if name == "full" else frozenset(name.split("+"))
+        fn = make_step_prefill(cfg, ab)
+        kv = ExLlamaCache(model).state
+        kv = fn(model.params, kv, ids, jnp.int32(0))
+        sync(kv.k[0])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            kv = fn(model.params, kv, ids, jnp.int32(0))
+            sync(kv.k[0])
+            times.append(time.perf_counter() - t0)
+        ms = min(times)
+        log(f"prefill {name:12s}: {ms*1e3:7.1f} ms  ({PLEN/ms:7.0f} tok/s)")
+
+
+def make_step_prefill(cfg, ablate: frozenset):
+    heads, kv_heads, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                          cfg.head_dim)
+    eps = cfg.rms_norm_eps
+    nq = heads * d
+    nkv = kv_heads * d
+
+    def layer(h, lp, kc, vc, sin, cos, pos, past):
+        b, t, hidden = h.shape
+        a = h if "norms" in ablate else rms_norm(h, lp.input_norm, eps)
+        if "qkv" in ablate:
+            q = jnp.zeros((b, t, nq), h.dtype)
+            k = jnp.zeros((b, t, nkv), h.dtype)
+            v = jnp.zeros((b, t, nkv), h.dtype)
+        else:
+            fused = q4_matmul(a, lp.qkv, impl="pallas")
+            ok = padded_n(nq)
+            ov = ok + padded_n(nkv)
+            q, k, v = (fused[..., :nq], fused[..., ok:ok + nkv],
+                       fused[..., ov:ov + nkv])
+        q = q.reshape(b, t, heads, d)
+        k = k.reshape(b, t, kv_heads, d)
+        v = v.reshape(b, t, kv_heads, d)
+        if "rope" not in ablate:
+            q = apply_rope(q, sin, cos, pos)
+            k = apply_rope(k, sin, cos, pos)
+        if "kvupd" not in ablate:
+            kc, vc, _, _ = update_kv_cache(kc, vc, k, v, past)
+        if "attend" in ablate:
+            attn = q
+        else:
+            attn = attend(q, kc, vc, past, cfg.max_seq_len, None,
+                          impl="flash")
+        if "oproj" not in ablate:
+            h = h + q4_matmul(attn.reshape(b, t, nq), lp.o, impl="pallas")
+        a = h if "norms" in ablate else rms_norm(h, lp.post_norm, eps)
+        if "mlp" not in ablate:
+            ni = lp.down.in_features
+            fused = q4_matmul(a, lp.gateup, impl="pallas")
+            ou = padded_n(ni)
+            g, u = fused[..., :ni], fused[..., ou:ou + ni]
+            x = jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u
+            h = h + q4_matmul(x, lp.down, impl="pallas")
+        return h, kc, vc
+
+    @functools.partial(jax.jit, donate_argnames=("kv",))
+    def prefill(params, kv, toks, past):
+        h = jnp.take(params.embed, toks, axis=0)
+        pos = past + jnp.arange(toks.shape[1], dtype=jnp.int32)
+        kn, vn = [], []
+        for li, lp in enumerate(params.layers):
+            h, kc, vc = layer(h, lp, kv.k[li], kv.v[li],
+                              params.rope_sin, params.rope_cos, pos, past)
+            kn.append(kc); vn.append(vc)
+        from exllama_tpu.cache import KVCacheState
+        return KVCacheState(tuple(kn), tuple(vn), None, None)
+
+    return prefill
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--prefill":
+        prefill_main()
+    else:
+        main()

@@ -72,6 +72,49 @@ void gptq_repack_kgroup(
     }
 }
 
+// GPTQ [K/8, N] int32 → npair layout [K/4, N_pad/2] int32, with an
+// optional logical-row permutation x_map (act-order make_sequential).
+// Byte at (row k, packed col J): within each 1024-column block b = J/512,
+// LOW nibble = W[k, b*1024 + J%512], HIGH nibble = W[k, b*1024 + 512 +
+// J%512] XOR 8 (see exllama_tpu/formats/gptq.py pack_npair). int8 row k
+// lives in int32 word k/4, byte k%4 (little endian).
+void gptq_repack_npair(
+    const int32_t* qweight,   // [K/8, N]
+    int32_t* out,             // [K/4, N_pad/2], caller-allocated
+    const int32_t* x_map,     // [K] or nullptr
+    int64_t K,
+    int64_t N)
+{
+    const int64_t n_pad = ((N + N_ALIGN - 1) / N_ALIGN) * N_ALIGN;
+    const int64_t npk = n_pad / 2;
+    const int64_t half = N_ALIGN / 2;   // 512
+
+#pragma omp parallel for schedule(static)
+    for (int64_t rw = 0; rw < K / 4; rw++) {      // output word row
+        uint32_t* out_row = (uint32_t*)out + rw * npk;
+        std::memset(out_row, 0, npk * sizeof(uint32_t));
+        for (int j = 0; j < 4; j++) {             // byte within word
+            const int64_t r = 4 * rw + j;         // logical row
+            const int64_t src = x_map ? (int64_t)x_map[r] : r;
+            const uint32_t* src_row =
+                (const uint32_t*)qweight + (src / 8) * N;
+            const int sh = 4 * (int)(src % 8);
+            const int bsh = 8 * j;
+            for (int64_t J = 0; J < npk; J++) {
+                const int64_t b = J / half;
+                const int64_t c = J % half;
+                const int64_t lo_c = b * N_ALIGN + c;
+                const int64_t hi_c = b * N_ALIGN + half + c;
+                const uint32_t lo =
+                    lo_c < N ? (src_row[lo_c] >> sh) & 0xF : 0u;
+                const uint32_t hi =
+                    (hi_c < N ? (src_row[hi_c] >> sh) & 0xF : 0u) ^ 8u;
+                out_row[J] |= (lo | (hi << 4)) << bsh;
+            }
+        }
+    }
+}
+
 // GPTQ qzeros [G, N/8] int32 column-packed → unpacked float32 [G, N] of
 // (stored_zero + 1) * scale, i.e. the precomputed zscale used by the
 // dequant kernel. scales are fp16 bits (uint16) as stored in checkpoints.
@@ -164,6 +207,6 @@ void rep_penalty_mask_cpu(
     }
 }
 
-int32_t host_lib_version() { return 1; }
+int32_t host_lib_version() { return 2; }
 
 }  // extern "C"

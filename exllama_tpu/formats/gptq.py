@@ -137,7 +137,69 @@ def make_sequential(
 
 
 # ---------------------------------------------------------------------------
-# TPU kgroup layout (the shipping layout; see module docstring)
+# TPU npair layout (the shipping layout)
+# ---------------------------------------------------------------------------
+#
+# ``qweight_npair`` int32 [K/4, N_pad/2]: each byte holds TWO OUTPUT COLUMNS
+# of the same logical K row — within every N_ALIGN (1024) column block, byte
+# column c pairs original columns (c, c + 512): the LOW nibble is column c's
+# value (exact) and the HIGH nibble is column c+512's value stored top-bit
+# flipped, so the SIGNED byte equals 16·q_hi − 128 + q_lo. The kernel then
+# needs only THREE VPU ops per byte (one full-byte int8→bf16 convert, one
+# ``& 0xF0`` mask, one masked convert) to get two exact dot products:
+#
+#   d1 = x·byte = 16·H − 128·Σx + L      d2 = x·(byte & 0xF0) = 16·H − 128·Σx
+#   ⇒  L = d1 − d2        H = d2/16 + 8·Σx
+#
+# (L/H = the raw low/high column sums) — 25% less unpack work than the
+# earlier kgroup layout's two masks + two converts, with bit-identical
+# results. Byte rows are plain K rows (int8 row r = logical row r after the
+# act-order permutation; int32 word r/4, byte r%4, little endian), so the
+# quantization-group structure is just contiguous row ranges.
+
+PAIR_HALF = N_ALIGN // 2   # column-pair stride inside an aligned block
+
+
+def pack_npair(q: np.ndarray) -> np.ndarray:
+    """uint8 [K, N] 4-bit values → int32 [K/4, N_pad/2] npair layout."""
+    k, n = q.shape
+    assert k % 4 == 0
+    n_pad = -(-n // N_ALIGN) * N_ALIGN
+    if n_pad != n:
+        q = np.concatenate(
+            [q, np.zeros((k, n_pad - n), dtype=q.dtype)], axis=1
+        )
+    qb = q.reshape(k, n_pad // N_ALIGN, 2, PAIR_HALF)
+    lo = qb[:, :, 0, :]
+    hi = qb[:, :, 1, :] ^ 8            # top bit flipped (see above)
+    bts = (lo | (hi << 4)).astype(np.uint8).reshape(k, n_pad // 2)
+    words = (
+        bts[0::4].astype(np.uint32)
+        | (bts[1::4].astype(np.uint32) << 8)
+        | (bts[2::4].astype(np.uint32) << 16)
+        | (bts[3::4].astype(np.uint32) << 24)
+    )
+    return words.astype(np.int32)      # [K/4, N_pad/2]
+
+
+def unpack_npair(words: np.ndarray, n: Optional[int] = None) -> np.ndarray:
+    """Inverse of :func:`pack_npair`: int32 [K/4, N_pad/2] → uint8 [K, N]."""
+    kw, npk = words.shape
+    k = kw * 4
+    n_pad = npk * 2
+    w = words.astype(np.uint32)
+    bts = np.empty((k, npk), np.uint8)
+    for j in range(4):
+        bts[j::4] = (w >> (8 * j)) & 0xFF
+    nb = n_pad // N_ALIGN
+    lo = (bts & 0x0F).reshape(k, nb, PAIR_HALF)
+    hi = (((bts >> 4) & 0x0F) ^ 8).reshape(k, nb, PAIR_HALF)
+    q = np.stack([lo, hi], axis=2).reshape(k, n_pad)
+    return q[:, :n] if n is not None else q
+
+
+# ---------------------------------------------------------------------------
+# TPU kgroup layout (legacy; superseded by npair, kept for format tests)
 # ---------------------------------------------------------------------------
 
 def pack_kgroup(q: np.ndarray, groupsize: int) -> np.ndarray:
@@ -240,7 +302,7 @@ class QuantTensor:
     before the matmul; rows of the stored weight are already group-sequential.
     """
 
-    qweight: jax.Array   # int32  [K/8, N_pad]  kgroup layout
+    qweight: jax.Array   # int32: [K/4, N_pad/2] (npair) | [K/8, N_pad] (kgroup)
     scales: jax.Array    # bf16   [K/gs, N_pad] (0 in padded columns)
     zscale: jax.Array    # bf16   [K/gs, N_pad]  = (stored_zero+1)*scales
     x_map: Optional[jax.Array]  # int32 [K] or None
@@ -248,6 +310,9 @@ class QuantTensor:
     in_features: int = dataclasses.field(metadata=dict(static=True))
     out_features: int = dataclasses.field(metadata=dict(static=True))
     groupsize: int = dataclasses.field(metadata=dict(static=True))
+    layout: str = dataclasses.field(
+        default="kgroup", metadata=dict(static=True)
+    )
 
     @property
     def act_order(self) -> bool:
@@ -255,6 +320,8 @@ class QuantTensor:
 
     @property
     def padded_out_features(self) -> int:
+        if self.layout == "npair":
+            return self.qweight.shape[1] * 2
         return self.qweight.shape[1]
 
 
@@ -286,6 +353,7 @@ def concat_quant_tensors(qts: "list[QuantTensor]") -> QuantTensor:
     for qt in qts:
         assert qt.in_features == first.in_features
         assert qt.groupsize == first.groupsize
+        assert qt.layout == first.layout
         assert qt.x_map is None, "cannot fuse act-order tensors"
     return QuantTensor(
         qweight=jnp.concatenate([qt.qweight for qt in qts], axis=1),
@@ -293,8 +361,9 @@ def concat_quant_tensors(qts: "list[QuantTensor]") -> QuantTensor:
         zscale=jnp.concatenate([qt.zscale for qt in qts], axis=1),
         x_map=None,
         in_features=first.in_features,
-        out_features=sum(qt.qweight.shape[1] for qt in qts),
+        out_features=sum(qt.padded_out_features for qt in qts),
         groupsize=first.groupsize,
+        layout=first.layout,
     )
 
 
@@ -334,6 +403,7 @@ def load_quant_tensor(
 
     from exllama_tpu import native
 
+    words = None
     if native.available() and scales.dtype == np.float16:
         # C++ fast path: repack directly from the wire format (csrc/)
         if g_idx is not None:
@@ -343,7 +413,8 @@ def load_quant_tensor(
                     "g_idx does not assign exactly groupsize rows/group"
                 )
             x_map = native.make_x_map(g_idx, groups)
-        words = native.repack_kgroup(qweight, x_map, k, n, groupsize)
+        words = native.repack_npair(qweight, x_map, k, n)
+    if words is not None:
         s, zscale = native.zscale(qzeros, scales, groups, n)
         s = s.astype(scale_dtype, copy=False)
         zscale = zscale.astype(scale_dtype, copy=False)
@@ -360,7 +431,7 @@ def load_quant_tensor(
             pad = ((0, 0), (0, n_pad - n))
             s = np.pad(s, pad)
             zscale = np.pad(zscale, pad)
-        words = pack_kgroup(q, groupsize)
+        words = pack_npair(q)
 
     return QuantTensor(
         qweight=words,
@@ -370,6 +441,7 @@ def load_quant_tensor(
         in_features=k,
         out_features=n,
         groupsize=groupsize,
+        layout="npair",
     )
 
 
@@ -379,9 +451,12 @@ def dequantize(qt: QuantTensor) -> np.ndarray:
     Note: rows are in *sequential* order; for act-order tensors the caller
     must permute the activation by ``x_map`` (not the output of this).
     """
-    q = unpack_kgroup(
-        np.asarray(qt.qweight), qt.groupsize
-    ).astype(np.float32)
+    if qt.layout == "npair":
+        q = unpack_npair(np.asarray(qt.qweight)).astype(np.float32)
+    else:
+        q = unpack_kgroup(
+            np.asarray(qt.qweight), qt.groupsize
+        ).astype(np.float32)
     gs = qt.groupsize
     s = np.repeat(np.asarray(qt.scales, dtype=np.float32), gs, axis=0)
     zs = np.repeat(np.asarray(qt.zscale, dtype=np.float32), gs, axis=0)

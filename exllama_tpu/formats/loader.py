@@ -174,7 +174,7 @@ def make_synthetic_params(
         n_pad = -(-n // N_ALIGN) * N_ALIGN
         words = np.frombuffer(
             rng.bytes(k * n_pad // 2), dtype=np.int32
-        ).reshape(k // 8, n_pad)
+        ).reshape(k // 4, n_pad // 2)
         # Uniform nibbles (mean 7.5, std ~4.6); pick s so dequant values get
         # std 0.02/sqrt(k/4096), zero-point 8 to roughly center them.
         sigma = 0.02 / np.sqrt(k / 4096)
@@ -196,6 +196,7 @@ def make_synthetic_params(
             in_features=k,
             out_features=n,
             groupsize=groupsize,
+            layout="npair",
         )
 
     qt = qt_fast if fast else qt_slow

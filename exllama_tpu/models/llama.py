@@ -290,8 +290,13 @@ def forward_chunk(
             jnp.float32
         )
     else:
-        logits = jnp.dot(
-            h, params.lm_head, preferred_element_type=jnp.float32
+        from exllama_tpu.ops.dense import dense_matmul
+
+        logits = dense_matmul(
+            h, params.lm_head, out_dtype=jnp.float32,
+            impl=(
+                matmul_impl if matmul_impl.startswith("pallas") else "xla"
+            ),
         )
     return logits, new_kv
 

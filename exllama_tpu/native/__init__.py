@@ -51,6 +51,10 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64,
     ]
+    if hasattr(lib, "gptq_repack_npair"):
+        lib.gptq_repack_npair.argtypes = [
+            i32p, i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
     lib.gptq_zscale.argtypes = [
         i32p, u16p, f32p, f32p, ctypes.c_int64, ctypes.c_int64
     ]
@@ -87,6 +91,25 @@ def repack_kgroup(qweight: np.ndarray, x_map: "np.ndarray | None",
         )
     else:
         lib.gptq_repack_kgroup(qweight, out, None, k, n, groupsize)
+    return out
+
+
+def repack_npair(qweight: np.ndarray, x_map: "np.ndarray | None",
+                 k: int, n: int) -> "np.ndarray | None":
+    """GPTQ [K/8, N] → npair layout [K/4, N_pad/2] (+ optional row perm)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gptq_repack_npair"):
+        return None
+    n_pad = -(-n // 1024) * 1024
+    out = np.empty((k // 4, n_pad // 2), np.int32)
+    qweight = np.ascontiguousarray(qweight, np.int32)
+    if x_map is not None:
+        x_map = np.ascontiguousarray(x_map, np.int32)
+        lib.gptq_repack_npair(
+            qweight, out, x_map.ctypes.data_as(ctypes.c_void_p), k, n
+        )
+    else:
+        lib.gptq_repack_npair(qweight, out, None, k, n)
     return out
 
 

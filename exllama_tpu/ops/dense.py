@@ -1,0 +1,114 @@
+"""Dense bf16 matmul helpers: a Pallas GEMV for the decode lm_head.
+
+The lm_head is the one large UNQUANTIZED matrix on the decode path (kept
+bf16 for output parity with the reference's fp16 head, model.py:845-847).
+XLA's stock GEMV streams it at ~460 GB/s on v5e; this kernel uses the same
+big-block streaming shape as the q4 GEMV (whole-K blocks, 1024+ lane
+blocks) and reaches ~700 GB/s. Prefill shapes (M > 32) stay on jnp.dot —
+they're MXU-bound and XLA is already optimal there.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GEMV_MAX_M = 32
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _kernel(x_ref, w_ref, out_ref, acc_ref, *, out_dtype):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _divisor_block(n: int, unit: int, preferred: int) -> int:
+    cands = [b for b in range(unit, n + 1, unit) if n % b == 0]
+    if not cands:
+        return n
+    at_most = [b for b in cands if b <= preferred]
+    return max(at_most) if at_most else min(cands)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_k", "out_dtype", "interpret")
+)
+def _call(x2, w, *, block_n, block_k, out_dtype, interpret):
+    m, k = x2.shape
+    n = w.shape[1]
+    grid = (1, n // block_n, k // block_k)
+    return pl.pallas_call(
+        functools.partial(_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, block_k), lambda i, j, kk: (0, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda i, j, kk: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n * w.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2, w)
+
+
+def dense_matmul(
+    x: jax.Array,        # [..., K]
+    w: jax.Array,        # [K, N] bf16
+    out_dtype=jnp.float32,
+    impl: str = "auto",
+) -> jax.Array:
+    """x @ w with fp32 output; Pallas GEMV for decode-sized M on TPU."""
+    *lead, k = x.shape
+    m = 1
+    for d in lead:
+        m *= d
+    use_pallas = impl in ("pallas", "pallas_interpret") or (
+        impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if not use_pallas or m > GEMV_MAX_M or k != w.shape[0]:
+        return jnp.dot(
+            x, w, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+
+    x2 = x.reshape(m, k).astype(w.dtype)
+    m_pad = max(8, 1 << (m - 1).bit_length())
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    n = w.shape[1]
+    bn = _divisor_block(n, 128, 2048)
+    # whole-K blocks when the streamed W tile fits the VMEM budget
+    w_bytes_per_bn = bn * w.dtype.itemsize
+    bk_budget = _VMEM_BUDGET // (2 * w_bytes_per_bn)
+    bk = _divisor_block(k, 128, max(128, bk_budget))
+    out = _call(
+        x2, w, block_n=bn, block_k=bk, out_dtype=jnp.dtype(out_dtype),
+        interpret=(impl == "pallas_interpret"),
+    )
+    return out[:m].reshape(*lead, n)

@@ -55,21 +55,38 @@ def _is_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 def dequantize_xla(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Dequantize the kgroup-layout weight on device → [K, N_pad]."""
-    kw, n_pad = qt.qweight.shape
-    k = kw * 8
+    """Dequantize the stored weight on device → [K, N_pad]."""
     gs = qt.groupsize
-    half = gs // 2
     u = jax.lax.bitcast_convert_type(qt.qweight, jnp.uint32)
-    bts = jnp.stack(
-        [(u >> jnp.uint32(8 * j)) & jnp.uint32(0xFF) for j in range(4)],
-        axis=1,
-    ).reshape(k // 2, n_pad)                      # int8 row r' = 4r + j
-    lo = (bts & 0xF).astype(jnp.float32)
-    hi = (((bts >> 4) & 0xF) ^ 8).astype(jnp.float32)
-    lo = lo.reshape(k // gs, half, n_pad)
-    hi = hi.reshape(k // gs, half, n_pad)
-    q = jnp.concatenate([lo, hi], axis=1).reshape(k, n_pad)
+    if qt.layout == "npair":
+        kw, npk = qt.qweight.shape
+        k = kw * 4
+        n_pad = npk * 2
+        bts = jnp.stack(
+            [(u >> jnp.uint32(8 * j)) & jnp.uint32(0xFF) for j in range(4)],
+            axis=1,
+        ).reshape(k, npk)
+        from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF
+
+        nb = n_pad // N_ALIGN
+        lo = (bts & 0xF).astype(jnp.float32).reshape(k, nb, 1, PAIR_HALF)
+        hi = (((bts >> 4) & 0xF) ^ 8).astype(jnp.float32).reshape(
+            k, nb, 1, PAIR_HALF
+        )
+        q = jnp.concatenate([lo, hi], axis=2).reshape(k, n_pad)
+    else:
+        kw, n_pad = qt.qweight.shape
+        k = kw * 8
+        half = gs // 2
+        bts = jnp.stack(
+            [(u >> jnp.uint32(8 * j)) & jnp.uint32(0xFF) for j in range(4)],
+            axis=1,
+        ).reshape(k // 2, n_pad)                  # int8 row r' = 4r + j
+        lo = (bts & 0xF).astype(jnp.float32)
+        hi = (((bts >> 4) & 0xF) ^ 8).astype(jnp.float32)
+        lo = lo.reshape(k // gs, half, n_pad)
+        hi = hi.reshape(k // gs, half, n_pad)
+        q = jnp.concatenate([lo, hi], axis=1).reshape(k, n_pad)
     s = jnp.repeat(qt.scales.astype(jnp.float32), gs, axis=0)
     zs = jnp.repeat(qt.zscale.astype(jnp.float32), gs, axis=0)
     return (q * s - zs).astype(dtype)
@@ -127,6 +144,109 @@ def _q4_gemv_kernel(
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _q4_gemv_kernel_npair(
+    x_ref,        # [bm, bk]           activation tile (bf16/f32)
+    qw_ref,       # [bk/4, bn/2]       packed words (int32, npair)
+    s_ref,        # [1, bk/gs, bn]     scales (bf16 storage)
+    z_ref,        # [1, bk/gs, bn]     zscale (bf16 storage)
+    out_ref,      # [bm, bn]
+    acc_ref,      # [bm, bn] f32 scratch
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """Decode/small-M kernel over the npair layout (formats/gptq.py): one
+    full-byte convert + one masked convert per byte give BOTH paired output
+    columns — d1 − d2 recovers the low column exactly, d2/16 + 8Σx the
+    high one. Requires bn == N_ALIGN (one pair block per grid column)."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk, bn/2]
+    s = s_ref[0].astype(jnp.float32)
+    z = z_ref[0].astype(jnp.float32)
+    bnp = b8.shape[1]
+    gs = groupsize
+    for g in range(block_k // gs):
+        blk = b8[g * gs : (g + 1) * gs, :]        # [gs, bn/2]
+        bval = blk.astype(jnp.bfloat16)           # 16 q_hi - 128 + q_lo
+        hv = (blk & (-16)).astype(jnp.bfloat16)   # 16 q_hi - 128
+        xg = x_ref[:, g * gs : (g + 1) * gs]
+        d1 = jnp.dot(xg, bval, preferred_element_type=jnp.float32)
+        d2 = jnp.dot(xg, hv, preferred_element_type=jnp.float32)
+        xs = xg.astype(jnp.float32).sum(axis=1, keepdims=True)
+        s_lo = s[g : g + 1, :bnp]
+        s_hi = s[g : g + 1, bnp:]
+        z_lo = z[g : g + 1, :bnp]
+        z_hi = z[g : g + 1, bnp:]
+        acc_ref[:, :bnp] += (d1 - d2) * s_lo - xs * z_lo
+        acc_ref[:, bnp:] += (d2 * 0.0625 + xs * 8.0) * s_hi - xs * z_hi
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _npair_dequant_block(b8, s, z, groupsize, block_k, dtype):
+    """[bk, bn/2] bytes + [gsz, bn] scales → [bk, bn] dequantized tile."""
+    bnp = b8.shape[1]
+    gs = groupsize
+    parts = []
+    for g in range(block_k // gs):
+        blk = b8[g * gs : (g + 1) * gs, :]
+        bval = blk.astype(jnp.float32)
+        hv = (blk & (-16)).astype(jnp.float32)
+        q_lo = bval - hv                          # exact nibble
+        s_lo = s[g : g + 1, :bnp]
+        s_hi = s[g : g + 1, bnp:]
+        z_lo = z[g : g + 1, :bnp]
+        z_hi = z[g : g + 1, bnp:]
+        w_lo = q_lo * s_lo - z_lo
+        w_hi = hv * (s_hi * 0.0625) + (s_hi * 8.0 - z_hi)
+        parts.append(
+            jnp.concatenate(
+                [w_lo.astype(dtype), w_hi.astype(dtype)], axis=1
+            )
+        )
+    return jnp.concatenate(parts, axis=0)         # [bk, bn]
+
+
+def _q4_deqw_kernel_npair(
+    x_ref,        # [bm, bk]
+    qw_ref,       # [bk/4, bn/2]
+    s_ref,        # [1, bk/gs, bn]
+    z_ref,
+    out_ref,      # [bm, bn]
+    acc_ref,      # [bm, bn] f32 scratch
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """Prefill kernel over the npair layout: dequantize the tile, one MXU
+    matmul per block."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+    w = _npair_dequant_block(
+        b8, s_ref[0].astype(jnp.float32), z_ref[0].astype(jnp.float32),
+        groupsize, block_k, x_ref.dtype,
+    )
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def _q4_deqw_kernel(
     x_ref,        # [bm, bk]
     qw_ref,       # [bk/8, bn]
@@ -167,6 +287,177 @@ def _q4_deqw_kernel(
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _q4_deqw2_kernel(
+    x_ref,        # [bm, K]       (whole K)
+    qw_ref,       # [K/8, bn]
+    s_ref,        # [1, K/gs, bn]
+    z_ref,        # [1, K/gs, bn]
+    out_ref,      # [bm, bn]
+    w_scr,        # [K, bn] bf16 scratch — the dequantized weight tile
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """Prefill kernel v2: dequantize each [K, bn] weight tile ONCE into VMEM
+    scratch (at the first M step of each N column block) and reuse it across
+    all M tiles. The v1 kernel re-dequantized per M tile — ~8x redundant VPU
+    work at M=2048 — the TPU analogue of the reference reconstructing into
+    temp_dq once and looping cuBLAS over it (q4_matmul.cu:301-344).
+    Grid is (N, M) with M innermost; requires whole-K blocks."""
+    m_idx = pl.program_id(1)
+    half = groupsize // 2
+
+    @pl.when(m_idx == 0)
+    def _():
+        b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+        s = s_ref[0].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+        for g in range(block_k // groupsize):
+            blk = b8[g * half : (g + 1) * half, :]
+            sg = s[g : g + 1, :]
+            zg = z[g : g + 1, :]
+            lo_w = (blk & 0x0F).astype(jnp.float32) * sg - zg
+            hv = (blk & (-16)).astype(jnp.float32)
+            hi_w = hv * (sg * 0.0625) + (sg * 8.0 - zg)
+            w_scr[g * groupsize : g * groupsize + half, :] = lo_w.astype(
+                jnp.bfloat16
+            )
+            w_scr[g * groupsize + half : (g + 1) * groupsize, :] = (
+                hi_w.astype(jnp.bfloat16)
+            )
+
+    out_ref[:] = jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w_scr[:],
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def _q4_deqw2_kernel_npair(
+    x_ref,        # [bm, K]
+    qw_ref,       # [K/4, bn/2]
+    s_ref,        # [1, K/gs, bn]
+    z_ref,
+    out_ref,      # [bm, bn]
+    w_scr,        # [K, bn] bf16 scratch
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """npair variant of the cached-dequant prefill kernel (see
+    _q4_deqw2_kernel)."""
+    m_idx = pl.program_id(1)
+
+    @pl.when(m_idx == 0)
+    def _():
+        b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+        s = s_ref[0].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+        bnp = b8.shape[1]
+        gs = groupsize
+        for g in range(block_k // gs):
+            blk = b8[g * gs : (g + 1) * gs, :]
+            bval = blk.astype(jnp.float32)
+            hv = (blk & (-16)).astype(jnp.float32)
+            s_lo = s[g : g + 1, :bnp]
+            s_hi = s[g : g + 1, bnp:]
+            z_lo = z[g : g + 1, :bnp]
+            z_hi = z[g : g + 1, bnp:]
+            w_scr[g * gs : (g + 1) * gs, :bnp] = (
+                (bval - hv) * s_lo - z_lo
+            ).astype(jnp.bfloat16)
+            w_scr[g * gs : (g + 1) * gs, bnp:] = (
+                hv * (s_hi * 0.0625) + (s_hi * 8.0 - z_hi)
+            ).astype(jnp.bfloat16)
+
+    out_ref[:] = jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w_scr[:],
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+DEQW2_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _deqw2_vmem_bytes(k: int, bn: int, bm: int, groupsize: int) -> int:
+    return (
+        k * bn * 2                   # dequantized scratch (bf16)
+        + (k // 8) * bn * 4 * 2      # qweight blocks, double buffered
+        + bm * k * 2 * 2             # x blocks
+        + (k // groupsize) * bn * 2 * 4
+        + bm * bn * 2 * 2            # out blocks
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "groupsize", "block_n", "out_dtype", "layout", "interpret"
+    ),
+)
+def _q4_matmul_deqw2_call(
+    x2: jax.Array,       # [M, K] — M padded to a block multiple
+    qweight: jax.Array,  # [K/4, N_pad/2] (npair) | [K/8, N_pad] (kgroup)
+    scales: jax.Array,   # [K/gs, N_pad]
+    zscale: jax.Array,   # [K/gs, N_pad]
+    *,
+    groupsize: int,
+    block_n: int,
+    out_dtype,
+    layout: str = "kgroup",
+    interpret: bool,
+):
+    m, k = x2.shape
+    n_pad = scales.shape[1]
+    bm = _choose_block_m(m)
+    gsz = k // groupsize
+    grid = (n_pad // block_n, m // bm)   # M innermost: scratch reused
+    scales3 = scales.reshape(1, gsz, n_pad)
+    zscale3 = zscale.reshape(1, gsz, n_pad)
+    kernel = functools.partial(
+        _q4_deqw2_kernel_npair if layout == "npair" else _q4_deqw2_kernel,
+        groupsize=groupsize, block_k=k, out_dtype=out_dtype,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = (
+        k * n_pad // 2
+        + m * k * x2.dtype.itemsize * (n_pad // block_n)
+        + 2 * gsz * n_pad * scales.dtype.itemsize
+        + m * n_pad * jnp.dtype(out_dtype).itemsize
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k // 4, block_n // 2)
+                if layout == "npair"
+                else (k // 8, block_n),
+                lambda j, i: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, gsz, block_n), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz, block_n), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k, block_n), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2, qweight, scales3, zscale3)
 
 
 # ---------------------------------------------------------------------------
@@ -235,12 +526,12 @@ def _choose_block_m(m: int) -> int:
     jax.jit,
     static_argnames=(
         "groupsize", "block_k", "block_n", "out_dtype", "kernel_kind",
-        "interpret",
+        "layout", "interpret",
     ),
 )
 def _q4_matmul_pallas_call(
     x2: jax.Array,       # [M, K] — M already padded to a block multiple
-    qweight: jax.Array,  # [K/8, N_pad]
+    qweight: jax.Array,  # [K/4, N_pad/2] (npair) | [K/8, N_pad] (kgroup)
     scales: jax.Array,   # [K/gs, N_pad]
     zscale: jax.Array,   # [K/gs, N_pad]
     *,
@@ -249,17 +540,25 @@ def _q4_matmul_pallas_call(
     block_n: int,
     out_dtype,
     kernel_kind: str,    # "gemv" | "deqw"
+    layout: str = "kgroup",
     interpret: bool,
 ):
     m, k = x2.shape
-    n_pad = qweight.shape[1]
+    n_pad = scales.shape[1]
     bm = _choose_block_m(m)
     assert m % bm == 0
     grid = (m // bm, n_pad // block_n, k // block_k)
     gsz = block_k // groupsize
     scales3 = scales.reshape(k // block_k, gsz, n_pad)
     zscale3 = zscale.reshape(k // block_k, gsz, n_pad)
-    kern = _q4_gemv_kernel if kernel_kind == "gemv" else _q4_deqw_kernel
+    if layout == "npair":
+        kern = (
+            _q4_gemv_kernel_npair
+            if kernel_kind == "gemv"
+            else _q4_deqw_kernel_npair
+        )
+    else:
+        kern = _q4_gemv_kernel if kernel_kind == "gemv" else _q4_deqw_kernel
     kernel = functools.partial(
         kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype
     )
@@ -276,8 +575,13 @@ def _q4_matmul_pallas_call(
         in_specs=[
             pl.BlockSpec((bm, block_k), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // 8, block_n), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_k // 4, block_n // 2)
+                if layout == "npair"
+                else (block_k // 8, block_n),
+                lambda i, j, kk: (kk, j),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, gsz, block_n), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gsz, block_n), lambda i, j, kk: (kk, 0, j),
@@ -314,8 +618,28 @@ def _q4_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool) -> jax.Arr
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
     kind = "gemv" if m <= GEMV_MAX_M else "deqw"
-    n_pad = qt.qweight.shape[1]
-    bn = _choose_block_n(n_pad)  # 1024 beats 2048 for both kinds (measured)
+    n_pad = qt.padded_out_features
+    bn = _choose_block_n(n_pad)
+    if qt.layout == "npair":
+        assert bn == N_ALIGN, (bn, n_pad)  # one column-pair block per step
+    if (
+        kind == "deqw"
+        and k % qt.groupsize == 0
+        and _deqw2_vmem_bytes(k, bn, bm, qt.groupsize) <= DEQW2_VMEM_BUDGET
+    ):
+        out = _q4_matmul_deqw2_call(
+            x2,
+            qt.qweight,
+            qt.scales,
+            qt.zscale,
+            groupsize=qt.groupsize,
+            block_n=bn,
+            out_dtype=jnp.dtype(x.dtype),
+            layout=qt.layout,
+            interpret=interpret,
+        )
+        out = out[:m, : qt.out_features]
+        return out.reshape(*lead, qt.out_features)
     bk = _choose_block_k(k, qt.groupsize, bn, bm=bm)
     out = _q4_matmul_pallas_call(
         x2,
@@ -327,6 +651,7 @@ def _q4_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool) -> jax.Arr
         block_n=bn,
         out_dtype=jnp.dtype(x.dtype),
         kernel_kind=kind,
+        layout=qt.layout,
         interpret=interpret,
     )
     out = out[:m, : qt.out_features]

@@ -72,12 +72,15 @@ def _quant_specs(qt: QuantTensor, shard: str) -> QuantTensor:
         in_features=qt.in_features,
         out_features=qt.out_features,
         groupsize=qt.groupsize,
+        layout=qt.layout,
     )
 
 
 def _can_shard_out(qt: QuantTensor, tp: int) -> bool:
-    """Column sharding must keep N_ALIGN-aligned column blocks per shard."""
-    n_pad = qt.qweight.shape[-1]
+    """Column sharding must keep N_ALIGN-aligned column blocks per shard
+    (npair pairs columns within an aligned block, so block-aligned shards
+    keep pairs together with their scale columns)."""
+    n_pad = qt.padded_out_features
     return (n_pad // N_ALIGN) % tp == 0
 
 

@@ -181,3 +181,31 @@ def test_bf16_scale_storage_error_bound():
     w16 = gptq.dequantize(qt16)
     denom = np.abs(w32).max()
     assert np.abs(w16 - w32).max() / denom < 2 ** -7
+
+
+def test_npair_roundtrip_and_padding():
+    rng = np.random.default_rng(11)
+    for n in (512, 1000, 1024 + 512):
+        q = rng.integers(0, 16, size=(64, n), dtype=np.uint8)
+        words = gptq.pack_npair(q)
+        n_pad = -(-n // gptq.N_ALIGN) * gptq.N_ALIGN
+        assert words.shape == (64 // 4, n_pad // 2)
+        back = gptq.unpack_npair(words, n)
+        assert np.array_equal(back, q)
+
+
+def test_npair_layout_golden():
+    # byte (row k, packed col J): block b = J // 512; LOW nibble = col
+    # b*1024 + J%512, HIGH nibble = col b*1024 + 512 + J%512, XOR 8.
+    # int8 row k sits in int32 word k//4, byte k%4 (little endian).
+    q = np.zeros((8, 2048), dtype=np.uint8)
+    q[5, 3] = 7        # block 0, lo of packed col 3
+    q[5, 512 + 3] = 9  # block 0, hi of packed col 3
+    q[5, 1024 + 40] = 3  # block 1, lo of packed col 512 + 40
+    words = gptq.pack_npair(q).view(np.uint32)
+    byte = (words[1, 3] >> (8 * 1)) & 0xFF    # row 5 = word 1, byte 1
+    assert byte & 0x0F == 7
+    assert (byte >> 4) & 0x0F == (9 ^ 8)
+    byte2 = (words[1, 512 + 40] >> (8 * 1)) & 0xFF
+    assert byte2 & 0x0F == 3
+    assert (byte2 >> 4) & 0x0F == (0 ^ 8)

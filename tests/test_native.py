@@ -80,3 +80,22 @@ def test_loader_uses_native_and_matches():
     np.testing.assert_array_equal(
         np.asarray(qt_native.x_map), np.asarray(qt_numpy.x_map)
     )
+
+
+@pytest.mark.parametrize("act_order", [False, True])
+@pytest.mark.parametrize("n", [512, 1024 + 256])
+def test_native_repack_npair_matches_numpy(act_order, n):
+    rng = np.random.default_rng(3)
+    k, gs = 256, 32
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    t = gptq.quantize_matrix(w, gs, act_order, rng)
+
+    q = gptq.unpack_gptq_qweight(t["qweight"])
+    x_map = None
+    if act_order:
+        q, x_map = gptq.make_sequential(q, t["g_idx"], gs)
+    want = gptq.pack_npair(q)
+
+    xm = native.make_x_map(t["g_idx"], k // gs) if act_order else None
+    got = native.repack_npair(t["qweight"], xm, k, n)
+    np.testing.assert_array_equal(got, want)
