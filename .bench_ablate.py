@@ -160,12 +160,12 @@ def prefill_main():
         fn = make_step_prefill(cfg, ab)
         kv = ExLlamaCache(model).state
         kv = fn(model.params, kv, ids, jnp.int32(0))
-        sync(kv.k[0])
+        sync(kv.k[0][0, 0, 0, :1])  # scalar fetch; whole-leaf fetch costs 300ms+
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             kv = fn(model.params, kv, ids, jnp.int32(0))
-            sync(kv.k[0])
+            sync(kv.k[0][0, 0, 0, :1])
             times.append(time.perf_counter() - t0)
         ms = min(times)
         log(f"prefill {name:12s}: {ms*1e3:7.1f} ms  ({PLEN/ms:7.0f} tok/s)")

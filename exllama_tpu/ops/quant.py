@@ -4,7 +4,7 @@ TPU-native re-design of the reference's q4_matmul
 (exllama_ext/cuda_func/q4_matmul.cu). The reference splits into two paths by
 row count: a hand-written GEMV CUDA kernel for decode (q4_matmul.cu:87-235)
 and dequantize-then-cuBLAS for prefill (q4_matmul.cu:301-344). Here both are
-one Pallas kernel family over the *kgroup* weight layout (formats/gptq.py)
+one Pallas kernel family over the packed weight layout (formats/gptq.py)
 — selected by M exactly like the reference's matmul_recons_thd switch —
 plus a pure-XLA fallback (dequantize + jnp.dot) that serves as the
 cross-validation oracle, the reference's own validation trick
