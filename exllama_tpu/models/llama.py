@@ -41,7 +41,7 @@ from exllama_tpu.formats.gptq import QuantTensor, padded_n
 from exllama_tpu.ops.attention import attend, update_kv_cache
 from exllama_tpu.ops.norms import rms_norm
 from exllama_tpu.ops.quant import q4_matmul
-from exllama_tpu.ops.rope import apply_rope, rope_tables
+from exllama_tpu.ops.rope import apply_rope_sliced, rope_tables, slice_tables
 
 
 @jax.tree_util.register_dataclass
@@ -117,10 +117,9 @@ def _decoder_layer(
     cfg_kv_heads: int,
     cfg_head_dim: int,
     eps: float,
-    rope_sin: jax.Array,
+    rope_sin: jax.Array,        # [1|B, T, 1, D] pre-sliced (slice_tables)
     rope_cos: jax.Array,
     past_len: jax.Array,
-    positions: jax.Array,       # [T]
     attend_len: int,
     input_mask: Optional[jax.Array],
     matmul_impl: str,
@@ -170,8 +169,8 @@ def _decoder_layer(
     q = q.reshape(b, t, cfg_heads, cfg_head_dim)
     k = k.reshape(b, t, cfg_kv_heads, cfg_head_dim)
     v = v.reshape(b, t, cfg_kv_heads, cfg_head_dim)
-    q = apply_rope(q, rope_sin, rope_cos, positions)
-    k = apply_rope(k, rope_sin, rope_cos, positions)
+    q = apply_rope_sliced(q, rope_sin, rope_cos)
+    k = apply_rope_sliced(k, rope_sin, rope_cos)
     kc, vc, ksc, vsc = update_kv_cache(kc, vc, k, v, past_len, ksc, vsc)
     attn = attend(q, kc, vc, past_len, attend_len, input_mask,
                   impl=attn_impl, k_scale=ksc, v_scale=vsc)
@@ -236,11 +235,9 @@ def forward_chunk(
     """
     b, t = tokens.shape
     h = jnp.take(params.embed, tokens, axis=0)  # [B, T, hidden]
-    # past_len may be scalar or [B] (per-slot cursors, continuous batching)
-    if past_len.ndim == 1:
-        positions = past_len[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-    else:
-        positions = past_len + jnp.arange(t, dtype=jnp.int32)
+    # past_len may be scalar or [B] (per-slot cursors, continuous batching);
+    # rope tables are sliced once per chunk, not per layer
+    sin_t, cos_t = slice_tables(params.rope_sin, params.rope_cos, past_len, t)
 
     layer_fn = functools.partial(
         _decoder_layer,
@@ -248,10 +245,9 @@ def forward_chunk(
         cfg_kv_heads=kv_heads,
         cfg_head_dim=head_dim,
         eps=eps,
-        rope_sin=params.rope_sin,
-        rope_cos=params.rope_cos,
+        rope_sin=sin_t,
+        rope_cos=cos_t,
         past_len=past_len,
-        positions=positions,
         attend_len=attend_len,
         input_mask=input_mask,
         matmul_impl=matmul_impl,

@@ -265,7 +265,7 @@ def _attend_flash_padded(
     # (measured 688 GB/s at bk=2048 vs 407 at bk=512 on v5e); prefill wants
     # moderate blocks so causal tile-skipping stays effective.
     cands = (2048, 1024, 512, 384, 256, 128) if r_total <= 32 else (
-        512, 384, 256, 128)
+        1024, 512, 384, 256, 128)
     bk = attend_len
     for cand in cands:
         if attend_len % cand == 0:

@@ -44,6 +44,39 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def slice_tables(
+    sin: jax.Array,        # [S_max, D]
+    cos: jax.Array,
+    past_len: jax.Array,   # scalar or [B]
+    t: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Rows [past, past+t) of the tables, ready to broadcast over [B,T,H,D].
+
+    Hoisted out of the layer loop: one contiguous dynamic_slice per chunk
+    (scalar cursor) or one gather ([B] per-slot cursors) replaces per-layer
+    per-projection gathers — measured ~12 ms of a 2k-token prefill.
+    """
+    if past_len.ndim == 0:
+        s = jax.lax.dynamic_slice_in_dim(sin, past_len, t, axis=0)
+        c = jax.lax.dynamic_slice_in_dim(cos, past_len, t, axis=0)
+        return s[None, :, None, :], c[None, :, None, :]
+    pos = past_len[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    s = jnp.take(sin, pos, axis=0)         # [B, T, D]
+    c = jnp.take(cos, pos, axis=0)
+    return s[:, :, None, :], c[:, :, None, :]
+
+
+def apply_rope_sliced(
+    x: jax.Array,          # [B, T, H, D]
+    s: jax.Array,          # [1|B, T, 1, D] from slice_tables
+    c: jax.Array,
+) -> jax.Array:
+    """Rotate by pre-sliced tables. Pure elementwise; fuses completely."""
+    xf = x.astype(jnp.float32)
+    out = xf * c + _rotate_half(xf) * s
+    return out.astype(x.dtype)
+
+
 def apply_rope(
     x: jax.Array,          # [B, T, H, D]
     sin: jax.Array,        # [S_max, D]
