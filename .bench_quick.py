@@ -10,7 +10,7 @@ cfg = model.config
 step = functools.partial(forward_chunk, attend_len=cfg.max_seq_len,
     last_token_only=True, preprocess_only=False, heads=cfg.num_attention_heads,
     kv_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
-    eps=cfg.rms_norm_eps, matmul_impl="pallas")
+    eps=cfg.rms_norm_eps, matmul_impl=__import__("os").environ.get("BQ_IMPL", "pallas"))
 
 @functools.partial(jax.jit, donate_argnames=("kv",))
 def decode_n(params, kv, tok, past):

@@ -164,6 +164,43 @@ def main():
         times.append(time.perf_counter() - t0)
     int8kv_ts = decode_len / min(times)
 
+    # ---- turbo mode: W4A8 matmuls (matmul_impl="pallas_a8") + int8 KV
+    step_turbo = functools.partial(
+        forward_chunk,
+        attend_len=cfg.max_seq_len,
+        last_token_only=True,
+        preprocess_only=False,
+        heads=cfg.num_attention_heads,
+        kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        eps=cfg.rms_norm_eps,
+        matmul_impl="pallas_a8",
+    )
+
+    @functools.partial(jax.jit, donate_argnames=("kv",))
+    def decode_turbo(params, kv, tok, past_len):
+        def body(i, carry):
+            kv, tok, pos = carry
+            logits, kv = step_turbo(params, kv, tok, pos, None, None)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1)[:, None].astype(
+                jnp.int32
+            )
+            return kv, tok, pos + 1
+        kv, tok, pos = jax.lax.fori_loop(
+            0, decode_len, body, (kv, tok, past_len)
+        )
+        return kv, tok
+
+    kvt, tok = decode_turbo(model.params, kvq, tok0, past)
+    sync(tok)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kvt, tok = decode_turbo(model.params, kvt, tok0, past)
+        sync(tok)
+        times.append(time.perf_counter() - t0)
+    turbo_ts = decode_len / min(times)
+
     # HBM-roofline framing: bytes per decode token at full context over the
     # measured stream bandwidth; the reference runs 64% of ITS roofline
     # (140 t/s * 4.6GB/token / 1008 GB/s on a 4090) — per-chip efficiency is
@@ -185,12 +222,13 @@ def main():
         "vs_baseline": round(vs, 3),
         "best_decode_tok_s": round(best_ts, 2),
         "int8kv_decode_tok_s": round(int8kv_ts, 2),
+        "turbo_decode_tok_s": round(turbo_ts, 2),
         "prompt_tok_s": round(prompt_ts, 1),
         "roofline_tok_s": round(roofline_ts, 1),
         "roofline_frac": round(decode_ts / roofline_ts, 3),
         "backend": backend,
         "layers": layers,
-        "note": "synthetic 7B g128; baseline 140 tok/s = reference 4090 worst-decode (BASELINE.md)",
+        "note": "synthetic 7B g128; baseline 140 tok/s = reference 4090 worst-decode (BASELINE.md); int8kv/turbo = opt-in int8 KV cache and W4A8 modes",
     }))
 
 

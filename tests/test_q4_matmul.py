@@ -79,3 +79,24 @@ def test_lora_fused():
     got = q4_matmul(x, qt, impl="xla", lora=(a, b))
     ref = np.asarray(base) + np.asarray(x) @ np.asarray(a) @ np.asarray(b)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("gs", [32, 128])
+def test_pallas_a8_close_to_exact(gs):
+    """W4A8 turbo kernel: int8-activation noise bounded (~1% of output
+    scale) relative to the exact xla path."""
+    rng = np.random.default_rng(8)
+    k, n, m = 256, 512, 4
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+    t = gptq.quantize_matrix(w, gs, False, rng)
+    qt = gptq.load_quant_tensor(
+        t["qweight"], t["qzeros"], t["scales"]
+    )
+    x = rng.normal(size=(m, k)).astype(np.float32) * 0.5
+    xj = jnp.asarray(x, jnp.bfloat16)
+    ref = np.asarray(q4_matmul(xj, qt, impl="xla"), np.float32)
+    got = np.asarray(
+        q4_matmul(xj, qt, impl="pallas_a8_interpret"), np.float32
+    )
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 0.015
