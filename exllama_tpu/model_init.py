@@ -38,6 +38,15 @@ def add_args(parser: argparse.ArgumentParser):
                         help="Tensor-parallel degree over the device mesh")
     parser.add_argument("--dp", type=int, default=1,
                         help="Data/batch-parallel degree")
+    parser.add_argument("--kv_int8", action="store_true",
+                        help="int8 KV cache (halves the KV stream; "
+                             "per-token-per-head scales)")
+    parser.add_argument("--turbo", action="store_true",
+                        help="W4A8 decode matmuls + int8 KV cache "
+                             "(fastest; small activation-quant noise)")
+    parser.add_argument("--no_fuse", action="store_true",
+                        help="disable load-time qkv/gateup projection "
+                             "fusion (required before TP sharding)")
     parser.add_argument("--matmul_impl", type=str, default="auto",
                         choices=["auto", "pallas", "xla"],
                         help="q4 matmul implementation")
@@ -84,6 +93,12 @@ def make_config(args) -> ExLlamaConfig:
     config.dp_size = args.dp
     config.tuning.matmul_impl = args.matmul_impl
     config.tuning.attn_len_bucket = args.attn_bucket
+    if getattr(args, "kv_int8", False) or getattr(args, "turbo", False):
+        config.tuning.kv_cache_dtype = "int8"
+    if getattr(args, "turbo", False) and args.matmul_impl == "auto":
+        config.tuning.matmul_impl = "pallas_a8"
+    if getattr(args, "no_fuse", False) or args.tp > 1 or args.dp > 1:
+        config.tuning.fuse_projections = False
     return config
 
 
