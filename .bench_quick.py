@@ -5,7 +5,21 @@ import bench as B
 from exllama_tpu.cache import ExLlamaCache
 from exllama_tpu.models.llama import forward_chunk
 
-model = B.build_model(32)
+import os as _os
+if _os.environ.get("BQ_ACT"):
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.models.llama import ExLlama
+    _cfg = ExLlamaConfig()
+    _cfg.num_hidden_layers = 32
+    _cfg.max_seq_len = 2048
+    _cfg.max_input_len = 2048
+    _cfg.max_attention_size = 2048 ** 2
+    _params = make_synthetic_params(_cfg, groupsize=128, act_order=True,
+                                    seed=0, fast=True)
+    model = ExLlama(_cfg, params=_params)
+else:
+    model = B.build_model(32)
 cfg = model.config
 step = functools.partial(forward_chunk, attend_len=cfg.max_seq_len,
     last_token_only=True, preprocess_only=False, heads=cfg.num_attention_heads,

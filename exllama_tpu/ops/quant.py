@@ -144,28 +144,69 @@ def _q4_gemv_kernel(
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _permute_prologue(x_ref, sb_ref, im_ref, x_scr, k_total: int, bm: int):
+    """Fill x_scr with x permuted by a static act-order map, inside the
+    kernel (runs once per M block, at grid (j==0, k==0)).
+
+    Mosaic's dynamic_gather shuffles lanes within one 128-lane vreg only,
+    so the arbitrary K-permutation decomposes into nblk² masked micro
+    gathers: out 128-block o accumulates, over source blocks b, the
+    lane-gather of block b masked to entries whose source block is b.
+    ~1 µs for K=4096 vs ~30 µs for the XLA gather op this replaces
+    (sb = x_map // 128, im = x_map % 128, precomputed outside)."""
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        nblk = k_total // 128
+        for o in range(nblk):
+            idx_o = jnp.broadcast_to(
+                im_ref[:, o * 128 : (o + 1) * 128], (bm, 128)
+            )
+            sb_o = jnp.broadcast_to(
+                sb_ref[:, o * 128 : (o + 1) * 128], (bm, 128)
+            )
+            acc = jnp.zeros((bm, 128), jnp.float32)
+            for b in range(nblk):
+                src = xf[:, b * 128 : (b + 1) * 128]
+                g = jnp.take_along_axis(src, idx_o, axis=1)
+                acc = acc + jnp.where(sb_o == b, g, 0.0)
+            x_scr[:, o * 128 : (o + 1) * 128] = acc.astype(x_scr.dtype)
+
+
 def _q4_gemv_kernel_npair(
     x_ref,        # [bm, bk]           activation tile (bf16/f32)
     qw_ref,       # [bk/4, bn/2]       packed words (int32, npair)
     s_ref,        # [1, bk/gs, bn]     scales (bf16 storage)
     z_ref,        # [1, bk/gs, bn]     zscale (bf16 storage)
-    out_ref,      # [bm, bn]
-    acc_ref,      # [bm, bn] f32 scratch
-    *,
+    *rest,        # [sb_ref, im_ref,] out_ref, acc_ref [, x_scr]
     groupsize: int,
     block_k: int,
     out_dtype,
+    have_xmap: bool = False,
 ):
     """Decode/small-M kernel over the npair layout (formats/gptq.py): one
     full-byte convert + one masked convert per byte give BOTH paired output
     columns — d1 − d2 recovers the low column exactly, d2/16 + 8Σx the
-    high one. Requires bn == N_ALIGN (one pair block per grid column)."""
+    high one. Requires bn == N_ALIGN (one pair block per grid column).
+    With ``have_xmap`` the act-order activation permutation happens in a
+    kernel prologue (see _permute_prologue) instead of an XLA gather."""
+    if have_xmap:
+        sb_ref, im_ref, out_ref, acc_ref, x_scr = rest
+    else:
+        out_ref, acc_ref = rest
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if have_xmap:
+        _permute_prologue(
+            x_ref, sb_ref, im_ref, x_scr, block_k, x_ref.shape[0]
+        )
+        xsrc = x_scr
+    else:
+        xsrc = x_ref
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk, bn/2]
     s = s_ref[0].astype(jnp.float32)
     z = z_ref[0].astype(jnp.float32)
@@ -175,7 +216,7 @@ def _q4_gemv_kernel_npair(
         blk = b8[g * gs : (g + 1) * gs, :]        # [gs, bn/2]
         bval = blk.astype(jnp.bfloat16)           # 16 q_hi - 128 + q_lo
         hv = (blk & (-16)).astype(jnp.bfloat16)   # 16 q_hi - 128
-        xg = x_ref[:, g * gs : (g + 1) * gs]
+        xg = xsrc[:, g * gs : (g + 1) * gs]
         d1 = jnp.dot(xg, bval, preferred_element_type=jnp.float32)
         d2 = jnp.dot(xg, hv, preferred_element_type=jnp.float32)
         xs = xg.astype(jnp.float32).sum(axis=1, keepdims=True)
@@ -196,12 +237,11 @@ def _q4_gemv_kernel_npair_a8(
     qw_ref,       # [bk/4, bn/2]       packed words (int32, npair)
     s_ref,        # [1, bk/gs, bn]     scales (bf16 storage)
     z_ref,        # [1, bk/gs, bn]     zscale (bf16 storage)
-    out_ref,      # [bm, bn]
-    acc_ref,      # [bm, bn] f32 scratch
-    *,
+    *rest,        # [sb_ref, im_ref,] out_ref, acc_ref [, x_scr]
     groupsize: int,
     block_k: int,
     out_dtype,
+    have_xmap: bool = False,
 ):
     """W4A8 decode kernel (opt-in ``matmul_impl="pallas_a8"``): activations
     quantize to int8 per (row, group) inside the kernel and the nibble dots
@@ -211,12 +251,23 @@ def _q4_gemv_kernel_npair_a8(
     (d2 is a multiple of 16), then one f32 rescale per (group, output).
     Activation quantization adds ~0.4% relative noise on top of the 4-bit
     weight error — a turbo mode, not the parity path."""
+    if have_xmap:
+        sb_ref, im_ref, out_ref, acc_ref, x_scr = rest
+    else:
+        out_ref, acc_ref = rest
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if have_xmap:
+        _permute_prologue(
+            x_ref, sb_ref, im_ref, x_scr, block_k, x_ref.shape[0]
+        )
+        xsrc = x_scr
+    else:
+        xsrc = x_ref
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk, bn/2]
     s = s_ref[0].astype(jnp.float32)
     z = z_ref[0].astype(jnp.float32)
@@ -225,7 +276,7 @@ def _q4_gemv_kernel_npair_a8(
     for g in range(block_k // gs):
         blk = b8[g * gs : (g + 1) * gs, :]        # [gs, bn/2] int8
         hv8 = blk & (-16)                         # int8: 16 q_hi - 128
-        xg = x_ref[:, g * gs : (g + 1) * gs].astype(jnp.float32)
+        xg = xsrc[:, g * gs : (g + 1) * gs].astype(jnp.float32)
         amax = jnp.max(jnp.abs(xg), axis=1, keepdims=True)   # [bm, 1]
         sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
         xq = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
@@ -596,12 +647,14 @@ def _q4_matmul_pallas_call(
     qweight: jax.Array,  # [K/4, N_pad/2] (npair) | [K/8, N_pad] (kgroup)
     scales: jax.Array,   # [K/gs, N_pad]
     zscale: jax.Array,   # [K/gs, N_pad]
+    sb: "jax.Array | None" = None,   # [1, K] int32 x_map // 128 (in-kernel
+    im: "jax.Array | None" = None,   # [1, K] int32 x_map % 128   permute)
     *,
     groupsize: int,
     block_k: int,
     block_n: int,
     out_dtype,
-    kernel_kind: str,    # "gemv" | "deqw"
+    kernel_kind: str,    # "gemv" | "gemv_a8" | "deqw"
     layout: str = "kgroup",
     interpret: bool,
 ):
@@ -613,6 +666,10 @@ def _q4_matmul_pallas_call(
     gsz = block_k // groupsize
     scales3 = scales.reshape(k // block_k, gsz, n_pad)
     zscale3 = zscale.reshape(k // block_k, gsz, n_pad)
+    have_xmap = sb is not None
+    if have_xmap:
+        assert layout == "npair" and kernel_kind in ("gemv", "gemv_a8")
+        assert block_k == k, "in-kernel permute needs whole-K blocks"
     if layout == "npair":
         kern = {
             "gemv": _q4_gemv_kernel_npair,
@@ -622,9 +679,15 @@ def _q4_matmul_pallas_call(
     else:
         assert kernel_kind != "gemv_a8", "a8 requires the npair layout"
         kern = _q4_gemv_kernel if kernel_kind == "gemv" else _q4_deqw_kernel
-    kernel = functools.partial(
-        kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype
-    )
+    if kernel_kind in ("gemv", "gemv_a8") and layout == "npair":
+        kernel = functools.partial(
+            kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype,
+            have_xmap=have_xmap,
+        )
+    else:
+        kernel = functools.partial(
+            kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype
+        )
     flops = 2 * m * k * n_pad
     bytes_accessed = (
         k * n_pad // 2
@@ -649,11 +712,18 @@ def _q4_matmul_pallas_call(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gsz, block_n), lambda i, j, kk: (kk, 0, j),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] if have_xmap else []),
         out_specs=pl.BlockSpec((bm, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)] + (
+            [pltpu.VMEM((bm, k), x2.dtype)] if have_xmap else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
@@ -661,12 +731,19 @@ def _q4_matmul_pallas_call(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, qweight, scales3, zscale3)
+    )(x2, qweight, scales3, zscale3,
+      *((sb, im) if have_xmap else ()))
 
 
 # M at or below this runs the gemv kernel; above it the deqw kernel.
 # Analogue of the reference's matmul_recons_thd (exllama_ext.cpp:217-239).
 GEMV_MAX_M = 32
+
+
+# In-kernel act-order permute applies up to this many 128-lane blocks of K
+# (the masked-gather decomposition is O(nblk²) unrolled ops; beyond this the
+# XLA gather is competitive and compile time is not).
+KERNEL_PERMUTE_MAX_BLOCKS = 96
 
 
 def _q4_matmul_pallas(
@@ -689,6 +766,23 @@ def _q4_matmul_pallas(
     bn = _choose_block_n(n_pad)
     if qt.layout == "npair":
         assert bn == N_ALIGN, (bn, n_pad)  # one column-pair block per step
+
+    sb = im = None
+    if qt.x_map is not None:
+        kernel_perm = (
+            kind in ("gemv", "gemv_a8")
+            and qt.layout == "npair"
+            and k % 128 == 0
+            and k // 128 <= KERNEL_PERMUTE_MAX_BLOCKS
+            and _choose_block_k(k, qt.groupsize, bn, bm=bm) == k
+        )
+        if kernel_perm:
+            xm = qt.x_map.astype(jnp.int32)
+            sb = (xm // 128)[None, :]
+            im = (xm % 128)[None, :]
+        else:
+            x2 = jnp.take(x2, qt.x_map, axis=1)
+
     if (
         kind == "deqw"
         and k % qt.groupsize == 0
@@ -713,6 +807,8 @@ def _q4_matmul_pallas(
         qt.qweight,
         qt.scales,
         qt.zscale,
+        sb,
+        im,
         groupsize=qt.groupsize,
         block_k=bk,
         block_n=bn,
@@ -745,24 +841,24 @@ def q4_matmul(
     q4_matmul_lora (exllama_ext.cpp:245-324).
     """
     assert x.shape[-1] == qt.in_features, (x.shape, qt.in_features)
-    if qt.x_map is not None:
-        x_q = jnp.take(x, qt.x_map, axis=-1)
-    else:
-        x_q = x
-
     if impl == "auto":
         impl = "pallas" if _is_tpu() else "xla"
 
+    # pallas paths resolve the act-order permutation themselves (in-kernel
+    # when the shape allows, pre-gather otherwise)
     if impl == "xla":
+        x_q = (
+            jnp.take(x, qt.x_map, axis=-1) if qt.x_map is not None else x
+        )
         out = _q4_matmul_xla(x_q, qt)
     elif impl == "pallas":
-        out = _q4_matmul_pallas(x_q, qt, interpret=False)
+        out = _q4_matmul_pallas(x, qt, interpret=False)
     elif impl == "pallas_a8":
-        out = _q4_matmul_pallas(x_q, qt, interpret=False, a8=True)
+        out = _q4_matmul_pallas(x, qt, interpret=False, a8=True)
     elif impl == "pallas_a8_interpret":
-        out = _q4_matmul_pallas(x_q, qt, interpret=True, a8=True)
+        out = _q4_matmul_pallas(x, qt, interpret=True, a8=True)
     elif impl == "pallas_interpret":
-        out = _q4_matmul_pallas(x_q, qt, interpret=True)
+        out = _q4_matmul_pallas(x, qt, interpret=True)
     else:
         raise ValueError(f"unknown q4_matmul impl: {impl}")
 
