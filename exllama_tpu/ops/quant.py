@@ -743,7 +743,7 @@ GEMV_MAX_M = 32
 # In-kernel act-order permute applies up to this many 128-lane blocks of K
 # (the masked-gather decomposition is O(nblk²) unrolled ops; beyond this the
 # XLA gather is competitive and compile time is not).
-KERNEL_PERMUTE_MAX_BLOCKS = 96
+KERNEL_PERMUTE_MAX_BLOCKS = 112
 
 
 def _q4_matmul_pallas(

@@ -1,0 +1,91 @@
+"""Llama-13B-shaped act-order decode/prefill on one chip (BASELINE config
+#2: '13B g128 act-order, batch-1 chat decode'). Run from the repo root."""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exllama_tpu.cache import ExLlamaCache
+from exllama_tpu.config import ExLlamaConfig
+from exllama_tpu.formats.loader import make_synthetic_params
+from exllama_tpu.models.llama import ExLlama, forward_chunk
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+cfg = ExLlamaConfig()
+cfg.hidden_size = 5120
+cfg.intermediate_size = 13824
+cfg.num_attention_heads = 40
+cfg.num_key_value_heads = 40
+cfg.head_dim = 128
+cfg.num_hidden_layers = 40
+cfg.vocab_size = 32000
+cfg.max_seq_len = 2048
+cfg.max_input_len = 2048
+cfg.max_attention_size = 2048 ** 2
+
+log("building synthetic 13B act-order checkpoint...")
+import os as _os
+_act = _os.environ.get("B13_ACT", "1") == "1"
+params = make_synthetic_params(cfg, groupsize=128, act_order=_act, seed=0,
+                               fast=True)
+model = ExLlama(cfg, params=params)
+cache = ExLlamaCache(model)
+
+rng = np.random.default_rng(0)
+prompt_len, decode_len = 1920, 64
+ids = rng.integers(0, cfg.vocab_size, size=(1, prompt_len)).astype(np.int32)
+
+t0 = time.perf_counter()
+model.forward(ids, cache, preprocess_only=True)
+np.asarray(cache.state.k[0][0, 0, 0, :1])
+log(f"prefill compile+run {time.perf_counter()-t0:.1f}s")
+cache.current_seq_len = 0
+t0 = time.perf_counter()
+model.forward(ids, cache, preprocess_only=True)
+np.asarray(cache.state.k[0][0, 0, 0, :1])
+prompt_ts = prompt_len / (time.perf_counter() - t0)
+log(f"prompt: {prompt_ts:.0f} tok/s")
+
+step = functools.partial(
+    forward_chunk, attend_len=cfg.max_seq_len, last_token_only=True,
+    preprocess_only=False, heads=cfg.num_attention_heads,
+    kv_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+    eps=cfg.rms_norm_eps, matmul_impl="pallas",
+)
+
+
+@functools.partial(jax.jit, donate_argnames=("kv",))
+def decode_n(params, kv, tok, past):
+    def body(i, c):
+        kv, tok, pos = c
+        lg, kv = step(params, kv, tok, pos, None, None)
+        return (kv, jnp.argmax(lg[:, -1, :], -1)[:, None].astype(jnp.int32),
+                pos + 1)
+    kv, tok, pos = jax.lax.fori_loop(0, decode_len, body, (kv, tok, past))
+    return kv, tok
+
+
+kv = cache.state
+tok0 = jnp.asarray([[1]], jnp.int32)
+past = jnp.int32(prompt_len)
+kv, tok = decode_n(model.params, kv, tok0, past)
+np.asarray(tok).ravel()[0]
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    kv, tok = decode_n(model.params, kv, tok0, past)
+    np.asarray(tok).ravel()[0]
+    ts.append(time.perf_counter() - t0)
+dt = min(ts) / decode_len
+log(f"13B act={_act} worst decode: {dt*1e3:.2f} ms/tok = {1/dt:.1f} tok/s "
+    f"(reference 13B g128 non-act 4090: 86 tok/s worst)")
