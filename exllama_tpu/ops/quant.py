@@ -469,22 +469,26 @@ def _q4_deqw2_kernel_npair(
         b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
         s = s_ref[0].astype(jnp.float32)
         z = z_ref[0].astype(jnp.float32)
-        bnp = b8.shape[1]
         gs = groupsize
-        for g in range(block_k // gs):
-            blk = b8[g * gs : (g + 1) * gs, :]
-            bval = blk.astype(jnp.float32)
-            hv = (blk & (-16)).astype(jnp.float32)
-            s_lo = s[g : g + 1, :bnp]
-            s_hi = s[g : g + 1, bnp:]
-            z_lo = z[g : g + 1, :bnp]
-            z_hi = z[g : g + 1, bnp:]
-            w_scr[g * gs : (g + 1) * gs, :bnp] = (
-                (bval - hv) * s_lo - z_lo
-            ).astype(jnp.bfloat16)
-            w_scr[g * gs : (g + 1) * gs, bnp:] = (
-                hv * (s_hi * 0.0625) + (s_hi * 8.0 - z_hi)
-            ).astype(jnp.bfloat16)
+        half = N_ALIGN // 2
+        for sub in range(b8.shape[1] // half):   # 1024-col output sub-blocks
+            qcols = slice(sub * half, (sub + 1) * half)
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+            for g in range(block_k // gs):
+                blk = b8[g * gs : (g + 1) * gs, qcols]
+                bval = blk.astype(jnp.float32)
+                hv = (blk & (-16)).astype(jnp.float32)
+                s_lo = s[g : g + 1, lo_c]
+                s_hi = s[g : g + 1, hi_c]
+                z_lo = z[g : g + 1, lo_c]
+                z_hi = z[g : g + 1, hi_c]
+                w_scr[g * gs : (g + 1) * gs, lo_c] = (
+                    (bval - hv) * s_lo - z_lo
+                ).astype(jnp.bfloat16)
+                w_scr[g * gs : (g + 1) * gs, hi_c] = (
+                    hv * (s_hi * 0.0625) + (s_hi * 8.0 - z_hi)
+                ).astype(jnp.bfloat16)
 
     out_ref[:] = jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w_scr[:],
@@ -763,6 +767,8 @@ def _q4_matmul_pallas(
     if a8 and kind == "gemv" and qt.layout == "npair":
         kind = "gemv_a8"   # W4A8 turbo path (prefill stays exact)
     n_pad = qt.padded_out_features
+    import os
+    deqw2_bn = int(os.environ.get("DEQW2_BN", str(N_ALIGN)))
     bn = _choose_block_n(n_pad)
     if qt.layout == "npair":
         assert bn == N_ALIGN, (bn, n_pad)  # one column-pair block per step
@@ -783,10 +789,11 @@ def _q4_matmul_pallas(
         else:
             x2 = jnp.take(x2, qt.x_map, axis=1)
 
+    bn2 = deqw2_bn if (qt.layout == "npair" and n_pad % deqw2_bn == 0) else bn
     if (
         kind == "deqw"
         and k % qt.groupsize == 0
-        and _deqw2_vmem_bytes(k, bn, bm, qt.groupsize) <= DEQW2_VMEM_BUDGET
+        and _deqw2_vmem_bytes(k, bn2, bm, qt.groupsize) <= DEQW2_VMEM_BUDGET
     ):
         out = _q4_matmul_deqw2_call(
             x2,
@@ -794,7 +801,7 @@ def _q4_matmul_pallas(
             qt.scales,
             qt.zscale,
             groupsize=qt.groupsize,
-            block_n=bn,
+            block_n=bn2,
             out_dtype=jnp.dtype(x.dtype),
             layout=qt.layout,
             interpret=interpret,
