@@ -216,3 +216,134 @@ def ring_attend_prefill(
 
     o, l, m, _, _ = jax.lax.fori_loop(0, n, step, (o, l, m, kb, vb))
     return _finish(o, l, m, q.shape, q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Full-model sequence-parallel decode step
+# ---------------------------------------------------------------------------
+
+def sp_kv_sharding(mesh: Mesh) -> NamedSharding:
+    """KV sharding for the sp-only decode mode: [B, Hkv, S(sp), D]."""
+    return NamedSharding(mesh, P(None, None, "sp", None))
+
+
+def shard_cache_sp(cache, mesh: Mesh):
+    """Place an ExLlamaCache's KV over the sp axis (sequence-sharded)."""
+    from exllama_tpu.cache import KVCacheState
+
+    sh = sp_kv_sharding(mesh)
+    assert cache.state.k_scale is None, (
+        "sp mode currently uses bf16 KV (int8 scale strips not wired)"
+    )
+    cache.state = KVCacheState(
+        k=tuple(jax.device_put(x, sh) for x in cache.state.k),
+        v=tuple(jax.device_put(x, sh) for x in cache.state.v),
+    )
+    return cache
+
+
+def make_sp_decode_fn(model, mesh: Mesh):
+    """Build a jitted decode step with the KV cache sharded over ``sp``.
+
+    The model-integration mode for parallel/sequence.py: weights and the
+    token replicate across the sp axis (each shard holds S/sp cache rows of
+    every layer — the regime where the CONTEXT, not the weights, outgrows
+    one chip's HBM); attention runs as distributed flash decoding
+    (sp_attend) and cache writes are owner-masked (sp_update_kv_cache).
+    One pmax + two psums per layer ride ICI. Composes with the generator
+    loop exactly like forward_chunk: ``fn(params, kv, tok, past) →
+    (logits, kv)``.
+    """
+    import functools
+
+    from exllama_tpu.cache import KVCacheState
+    from exllama_tpu.formats.gptq import padded_n
+    from exllama_tpu.ops.norms import rms_norm
+    from exllama_tpu.ops.quant import q4_matmul
+    from exllama_tpu.ops.rope import apply_rope_sliced, slice_tables
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.sharding import shard_map
+
+    cfg = model.config
+    heads, kv_heads, d = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    )
+    eps = cfg.rms_norm_eps
+    impl = model._matmul_impl()
+    nq, nkv = heads * d, kv_heads * d
+
+    def step(params, kv, tok, past):
+        b, t = tok.shape
+        h = jnp.take(params.embed, tok, axis=0)
+        sin_t, cos_t = slice_tables(
+            params.rope_sin, params.rope_cos, past, t
+        )
+        k_new, v_new = [], []
+        for li, lp in enumerate(params.layers):
+            a = rms_norm(h, lp.input_norm, eps)
+            if lp.qkv is not None:
+                fused = q4_matmul(a, lp.qkv, impl=impl)
+                ok = padded_n(nq)
+                ov = ok + padded_n(nkv)
+                q = fused[..., :nq]
+                k = fused[..., ok : ok + nkv]
+                v = fused[..., ov : ov + nkv]
+            else:
+                q = q4_matmul(a, lp.q, impl=impl)
+                k = q4_matmul(a, lp.k, impl=impl)
+                v = q4_matmul(a, lp.v, impl=impl)
+            q = apply_rope_sliced(q.reshape(b, t, heads, d), sin_t, cos_t)
+            k = apply_rope_sliced(k.reshape(b, t, kv_heads, d), sin_t, cos_t)
+            v = v.reshape(b, t, kv_heads, d)
+            kc, vc = sp_update_kv_cache(
+                kv.k[li], kv.v[li], k, v, past
+            )
+            attn = sp_attend(q, kc, vc, past)
+            k_new.append(kc)
+            v_new.append(vc)
+            h = h + q4_matmul(
+                attn.reshape(b, t, nq), lp.o, impl=impl
+            )
+            a = rms_norm(h, lp.post_norm, eps)
+            if lp.gateup is not None:
+                ni = lp.down.in_features
+                fu = q4_matmul(a, lp.gateup, impl=impl)
+                ou = padded_n(ni)
+                g, u = fu[..., :ni], fu[..., ou : ou + ni]
+            else:
+                g = q4_matmul(a, lp.gate, impl=impl)
+                u = q4_matmul(a, lp.up, impl=impl)
+            h = h + q4_matmul(
+                jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                lp.down, impl=impl,
+            )
+        h2 = rms_norm(h[:, -1:, :], params.norm, eps)
+        logits = jnp.dot(
+            h2, params.lm_head, preferred_element_type=jnp.float32
+        )
+        return logits, KVCacheState(tuple(k_new), tuple(v_new))
+
+    kv_spec = P(None, None, "sp", None)
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+
+    def kv_specs(kv):
+        return KVCacheState(
+            k=tuple(kv_spec for _ in kv.k),
+            v=tuple(kv_spec for _ in kv.v),
+        )
+
+    @functools.partial(jax.jit, donate_argnames=("kv",))
+    def fn(params, kv, tok, past):
+        mapped = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(rep(params), kv_specs(kv), P(), P()),
+            out_specs=(P(), kv_specs(kv)),
+            check_rep=False,
+        )
+        return mapped(params, kv, tok, past)
+
+    return fn

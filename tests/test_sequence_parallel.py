@@ -156,3 +156,68 @@ def test_sp_cache_sharding_spec():
     mesh = make_sp_mesh(sp=2, tp=2, dp=2)
     sh = sp_cache_sharding(mesh)
     assert sh.spec == P("dp", "tp", "sp", None)
+
+
+def test_sp_model_decode_matches_forward_chunk():
+    """Full-model sequence-parallel decode (make_sp_decode_fn) must match
+    the standard forward on an 8-way S-sharded cache."""
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.models.llama import ExLlama
+    from exllama_tpu.parallel.sequence import (
+        make_sp_decode_fn,
+        shard_cache_sp,
+    )
+
+    cfg = ExLlamaConfig()
+    cfg.hidden_size = 256
+    cfg.intermediate_size = 512
+    cfg.num_attention_heads = 4
+    cfg.num_key_value_heads = 2
+    cfg.head_dim = 64
+    cfg.num_hidden_layers = 2
+    cfg.vocab_size = 128
+    cfg.max_seq_len = 64
+    cfg.max_input_len = 64
+    cfg.max_attention_size = 64 * 64
+    cfg.tuning.matmul_impl = "xla"
+    cfg.tuning.attn_len_bucket = 0
+
+    params = make_synthetic_params(cfg, 32, False, seed=9)
+    model = ExLlama(cfg, params=params)
+    mesh = make_sp_mesh(sp=8)
+
+    ids = (np.arange(10, dtype=np.int32)[None] * 7 + 3) % cfg.vocab_size
+
+    # reference: plain forward decode (prefill all but last, feed last)
+    cache_ref = ExLlamaCache(model)
+    model.forward(ids[:, :-1], cache_ref, preprocess_only=True)
+    ref_logits = []
+    seq = list(map(int, ids[0]))
+    for _ in range(4):
+        lg = model.forward(
+            np.asarray(seq[-1:], np.int32)[None], cache_ref
+        )
+        ref_logits.append(np.asarray(lg, np.float32))
+        seq.append(int(np.argmax(lg[0, -1])))
+
+    # sp: prefill token-by-token through the sp step (write+attend), then
+    # compare the same decode steps
+    cache_sp = shard_cache_sp(ExLlamaCache(model), mesh)
+    fn = make_sp_decode_fn(model, mesh)
+    kv = cache_sp.state
+    for i in range(len(ids[0]) - 1):
+        _, kv = fn(model.params, kv, ids[:, i : i + 1], jnp.int32(i))
+    seq2 = list(map(int, ids[0]))
+    for step in range(4):
+        past = jnp.int32(len(seq2) - 1)
+        lg, kv = fn(
+            model.params, kv, np.asarray(seq2[-1:], np.int32)[None], past
+        )
+        lg = np.asarray(lg, np.float32)
+        np.testing.assert_allclose(
+            lg, ref_logits[step], rtol=3e-2, atol=3e-2
+        )
+        seq2.append(int(np.argmax(lg[0, -1])))
+    assert seq2 == seq
