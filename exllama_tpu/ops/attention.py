@@ -272,8 +272,8 @@ def _attend_flash_padded(
             bk = cand
             break
     assert attend_len % bk == 0
-    # q rows per tile: all rows at decode; 256-row tiles at prefill
-    rt = r_total if r_total <= 256 else 256
+    # q rows per tile: all rows at decode; 512-row tiles at prefill
+    rt = r_total if r_total <= 256 else 512
     while r_total % rt != 0 or rt % g != 0:
         rt -= g
     bq = rt // g
