@@ -291,7 +291,9 @@ def _q4_gemv_kernel_npair_a8(
         xqs = xq.astype(jnp.int32).sum(axis=1, keepdims=True)  # [bm, 1]
         lo = (d1 - d2).astype(jnp.float32)                 # Σ xq·q_lo
         hi = ((d2 >> 4) + 8 * xqs).astype(jnp.float32)     # Σ xq·q_hi
-        xs = xqs.astype(jnp.float32) * sx                  # ≈ Σ x
+        # zero-point term is independent of the activation quantization —
+        # use the exact Σx (already in f32) rather than sx·Σxq
+        xs = xg.sum(axis=1, keepdims=True)
         acc_ref[:, :bnp] += (lo * sx) * s[g : g + 1, :bnp] - xs * z[
             g : g + 1, :bnp
         ]
