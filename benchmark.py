@@ -61,6 +61,8 @@ def build_synthetic(name, args):
     cfg.max_attention_size = args.length ** 2
     cfg.tuning.matmul_impl = args.matmul_impl
     cfg.tuning.attn_len_bucket = args.attn_bucket
+    if getattr(args, "scale_f32", False):
+        cfg.tuning.scale_dtype = "f32"
     params = make_synthetic_params(
         cfg, groupsize=args.groupsize, act_order=args.act_order, seed=0
     )
@@ -236,6 +238,10 @@ def main():
     parser.add_argument("-cs", "--streams", type=int, default=0,
                         help="aggregate throughput over N concurrent "
                              "streams via the continuous-batching engine")
+    parser.add_argument("--scale_f32", action="store_true",
+                        help="store quantization scales in f32 "
+                             "(strict-parity validation; default bf16 — "
+                             "see docs/PARITY.md)")
     args = parser.parse_args()
 
     if args.synthetic:

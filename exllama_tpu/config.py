@@ -55,6 +55,11 @@ class TuningParams:
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).
     attn_len_bucket: int = 256
+    # Storage dtype for per-group quantization scales/zero-scales: "bf16"
+    # (default — halves the scale stream; up to ~2^-9 relative weight error
+    # vs the reference's fp16 scales, see docs/PARITY.md) or "f32" for
+    # strict-parity validation runs (scales kept at full precision).
+    scale_dtype: str = "bf16"
 
 
 class ExLlamaConfig:

@@ -51,6 +51,10 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
     def has(key: str) -> bool:
         return key in key_file
 
+    scale_dtype = (
+        np.float32 if config.tuning.scale_dtype == "f32" else None
+    )
+
     def get_quant(prefix: str) -> QuantTensor:
         g_idx = get(f"{prefix}.g_idx") if has(f"{prefix}.g_idx") else None
         if g_idx is not None and np.all(g_idx == 0):
@@ -60,6 +64,7 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
             get(f"{prefix}.qzeros").astype(np.int32),
             get(f"{prefix}.scales"),
             g_idx,
+            scale_dtype=scale_dtype,
         )
 
     dtype = jnp.bfloat16
@@ -160,6 +165,10 @@ def make_synthetic_params(
     qdim = config.num_attention_heads * config.head_dim
     dtype = jnp.bfloat16
 
+    synth_scale_dtype = (
+        np.float32 if config.tuning.scale_dtype == "f32" else None
+    )
+
     def qt_slow(k, n):
         w = (
             rng.standard_normal((k, n), dtype=np.float32)
@@ -167,7 +176,8 @@ def make_synthetic_params(
         )
         t = quantize_matrix(w, groupsize, act_order, rng)
         return load_quant_tensor(
-            t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
+            t["qweight"], t["qzeros"], t["scales"], t.get("g_idx"),
+            scale_dtype=synth_scale_dtype,
         )
 
     def qt_fast(k, n):

@@ -99,6 +99,8 @@ def make_config(args) -> ExLlamaConfig:
         config.tuning.matmul_impl = "pallas_a8"
     if getattr(args, "no_fuse", False) or args.tp > 1 or args.dp > 1:
         config.tuning.fuse_projections = False
+    if getattr(args, "scale_f32", False):
+        config.tuning.scale_dtype = "f32"
     return config
 
 

@@ -341,7 +341,17 @@ class ExLlama:
     def _attn_impl(self) -> str:
         impl = self.config.tuning.attn_impl
         if impl == "auto":
-            impl = "flash" if jax.default_backend() == "tpu" else "xla"
+            # Mirror attend()'s own head-dim gate (ops/attention.py): the
+            # flash kernel requires a lane-aligned head_dim; other dims
+            # (e.g. OpenLlama-3B's 100) take the einsum path.
+            from exllama_tpu.ops.attention import flash_supported_head_dim
+
+            impl = (
+                "flash"
+                if jax.default_backend() == "tpu"
+                and flash_supported_head_dim(self.config.head_dim)
+                else "xla"
+            )
         return impl
 
     def num_params_bytes(self) -> int:

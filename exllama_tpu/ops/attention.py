@@ -37,6 +37,18 @@ NEG_INF = -1e9  # additive mask value (reference uses fp16 -65504, model.py:1014
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def flash_supported_head_dim(d: int) -> bool:
+    """Head dims the Pallas flash kernel handles.
+
+    Lane-width multiples (128, 256) are the native case; 64 works because
+    every kernel block's minor dim equals the full array dim (Mosaic's
+    full-dimension legality rule), at 50% lane utilization — still far
+    better than materializing the score matrix on long contexts. Odd dims
+    (e.g. OpenLlama-3B's 100) fall back to the einsum path.
+    """
+    return d in (64,) or d % 128 == 0
+
+
 def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-(token, head) symmetric int8 quantization of [B, T, Hkv, D] rows.
 
@@ -272,10 +284,18 @@ def _attend_flash_padded(
             bk = cand
             break
     assert attend_len % bk == 0
-    # q rows per tile: all rows at decode; 512-row tiles at prefill
-    rt = r_total if r_total <= 256 else 512
-    while r_total % rt != 0 or rt % g != 0:
-        rt -= g
+    # q rows per tile: all rows at decode; ~512-row tiles at prefill. Tile
+    # size must divide r_total and (when tiled) be a multiple of g so the
+    # row→(t, g-slot) mapping stays tile-local. Start from a multiple of g —
+    # decrementing from a non-multiple (e.g. 512 with g=7, Yi-34B's 56q/8kv)
+    # can never reach rt % g == 0 and used to loop forever at trace time.
+    if r_total <= 256:
+        rt = r_total
+    else:
+        rt = min(r_total, max(g, (512 // g) * g))
+        while r_total % rt != 0:
+            rt -= g
+        assert rt >= g
     bq = rt // g
     grid = (b, hkv, r_total // rt, attend_len // bk)
 
@@ -419,9 +439,9 @@ def attend(
     on the fly (the kernel inside its KV tiles).
     """
     if impl == "auto":
-        # flash kernel assumes D == lane width; odd head dims (e.g. 100 on
+        # flash kernel needs a lane-legal D; odd head dims (e.g. 100 on
         # OpenLlama-3B) take the einsum path
-        flash_ok = q.shape[-1] == 128
+        flash_ok = flash_supported_head_dim(q.shape[-1])
         impl = (
             "flash"
             if jax.default_backend() == "tpu" and flash_ok

@@ -89,7 +89,10 @@ def dense_matmul(
     m = 1
     for d in lead:
         m *= d
-    use_pallas = impl in ("pallas", "pallas_interpret") or (
+    # Any impl starting with "pallas" takes the GEMV kernel — including
+    # "pallas_a8" (W4A8 turbo mode), whose int8 trick only applies to
+    # quantized weights; the bf16 lm_head must still get the fast path.
+    use_pallas = impl.startswith("pallas") or (
         impl == "auto" and jax.default_backend() == "tpu"
     )
     if not use_pallas or m > GEMV_MAX_M or k != w.shape[0]:

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from exllama_tpu.formats.gptq import N_ALIGN, QuantTensor
+from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF, QuantTensor
 
 
 def _is_tpu() -> bool:
@@ -210,8 +210,13 @@ def _q4_gemv_kernel_npair(
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk, bn/2]
     s = s_ref[0].astype(jnp.float32)
     z = z_ref[0].astype(jnp.float32)
-    bnp = b8.shape[1]
     gs = groupsize
+    # bn may span several N_ALIGN pair-blocks (fewer, larger grid steps
+    # amortize the ~0.6 µs/step fixed cost that capped wide-N GEMVs at
+    # ~600 GB/s with single-pair blocks); the lo/hi column pairing lives
+    # inside each 1024-column aligned block.
+    half = PAIR_HALF
+    nsub = b8.shape[1] // half
     for g in range(block_k // gs):
         blk = b8[g * gs : (g + 1) * gs, :]        # [gs, bn/2]
         bval = blk.astype(jnp.bfloat16)           # 16 q_hi - 128 + q_lo
@@ -220,12 +225,15 @@ def _q4_gemv_kernel_npair(
         d1 = jnp.dot(xg, bval, preferred_element_type=jnp.float32)
         d2 = jnp.dot(xg, hv, preferred_element_type=jnp.float32)
         xs = xg.astype(jnp.float32).sum(axis=1, keepdims=True)
-        s_lo = s[g : g + 1, :bnp]
-        s_hi = s[g : g + 1, bnp:]
-        z_lo = z[g : g + 1, :bnp]
-        z_hi = z[g : g + 1, bnp:]
-        acc_ref[:, :bnp] += (d1 - d2) * s_lo - xs * z_lo
-        acc_ref[:, bnp:] += (d2 * 0.0625 + xs * 8.0) * s_hi - xs * z_hi
+        for sub in range(nsub):
+            sl = slice(sub * half, (sub + 1) * half)
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+            acc_ref[:, lo_c] += (d1[:, sl] - d2[:, sl]) * s[g : g + 1, lo_c] \
+                - xs * z[g : g + 1, lo_c]
+            acc_ref[:, hi_c] += (d2[:, sl] * 0.0625 + xs * 8.0) * s[
+                g : g + 1, hi_c
+            ] - xs * z[g : g + 1, hi_c]
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
@@ -271,7 +279,8 @@ def _q4_gemv_kernel_npair_a8(
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk, bn/2]
     s = s_ref[0].astype(jnp.float32)
     z = z_ref[0].astype(jnp.float32)
-    bnp = b8.shape[1]
+    half = PAIR_HALF
+    nsub = b8.shape[1] // half
     gs = groupsize
     for g in range(block_k // gs):
         blk = b8[g * gs : (g + 1) * gs, :]        # [gs, bn/2] int8
@@ -294,12 +303,16 @@ def _q4_gemv_kernel_npair_a8(
         # zero-point term is independent of the activation quantization —
         # use the exact Σx (already in f32) rather than sx·Σxq
         xs = xg.sum(axis=1, keepdims=True)
-        acc_ref[:, :bnp] += (lo * sx) * s[g : g + 1, :bnp] - xs * z[
-            g : g + 1, :bnp
-        ]
-        acc_ref[:, bnp:] += (hi * sx) * s[g : g + 1, bnp:] - xs * z[
-            g : g + 1, bnp:
-        ]
+        for sub in range(nsub):
+            sl = slice(sub * half, (sub + 1) * half)
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+            acc_ref[:, lo_c] += (lo[:, sl] * sx) * s[g : g + 1, lo_c] - xs * z[
+                g : g + 1, lo_c
+            ]
+            acc_ref[:, hi_c] += (hi[:, sl] * sx) * s[g : g + 1, hi_c] - xs * z[
+                g : g + 1, hi_c
+            ]
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
@@ -307,26 +320,28 @@ def _q4_gemv_kernel_npair_a8(
 
 
 def _npair_dequant_block(b8, s, z, groupsize, block_k, dtype):
-    """[bk, bn/2] bytes + [gsz, bn] scales → [bk, bn] dequantized tile."""
-    bnp = b8.shape[1]
+    """[bk, bn/2] bytes + [gsz, bn] scales → [bk, bn] dequantized tile.
+    Handles bn spanning several N_ALIGN pair-blocks."""
+    half = PAIR_HALF
+    nsub = b8.shape[1] // half
     gs = groupsize
     parts = []
     for g in range(block_k // gs):
-        blk = b8[g * gs : (g + 1) * gs, :]
-        bval = blk.astype(jnp.float32)
-        hv = (blk & (-16)).astype(jnp.float32)
-        q_lo = bval - hv                          # exact nibble
-        s_lo = s[g : g + 1, :bnp]
-        s_hi = s[g : g + 1, bnp:]
-        z_lo = z[g : g + 1, :bnp]
-        z_hi = z[g : g + 1, bnp:]
-        w_lo = q_lo * s_lo - z_lo
-        w_hi = hv * (s_hi * 0.0625) + (s_hi * 8.0 - z_hi)
-        parts.append(
-            jnp.concatenate(
-                [w_lo.astype(dtype), w_hi.astype(dtype)], axis=1
+        row = []
+        for sub in range(nsub):
+            blk = b8[g * gs : (g + 1) * gs, sub * half : (sub + 1) * half]
+            bval = blk.astype(jnp.float32)
+            hv = (blk & (-16)).astype(jnp.float32)
+            q_lo = bval - hv                      # exact nibble
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+            w_lo = q_lo * s[g : g + 1, lo_c] - z[g : g + 1, lo_c]
+            w_hi = hv * (s[g : g + 1, hi_c] * 0.0625) + (
+                s[g : g + 1, hi_c] * 8.0 - z[g : g + 1, hi_c]
             )
-        )
+            row.append(w_lo.astype(dtype))
+            row.append(w_hi.astype(dtype))
+        parts.append(jnp.concatenate(row, axis=1))
     return jnp.concatenate(parts, axis=0)         # [bk, bn]
 
 
@@ -583,7 +598,53 @@ def _q4_matmul_deqw2_call(
 # Block choosers
 # ---------------------------------------------------------------------------
 
-GEMV_VMEM_BUDGET = 24 * 1024 * 1024
+GEMV_VMEM_BUDGET = 34 * 1024 * 1024
+
+# Target upper bound on bytes streamed per grid step in the GEMV kernels.
+# Steps much smaller than this pay the ~0.6 µs/step fixed cost (measured:
+# 774 GB/s at 4 × 2 MB steps vs ~600 GB/s at 11+ steps on wide-N matrices);
+# steps need to stay small enough to double-buffer within the VMEM budget.
+GEMV_STEP_BYTES_MAX = 12 * 1024 * 1024
+
+
+def _choose_gemv_blocks_npair(
+    k: int,
+    n_pad: int,
+    groupsize: int,
+    bm: int = 8,
+    require_whole_k: bool = False,
+) -> "tuple[int, int | None]":
+    """Joint (block_n, block_k) choice for the npair GEMV kernels.
+
+    Minimizes total grid steps subject to: step bytes ≤ GEMV_STEP_BYTES_MAX,
+    ≥ 2 steps (so DMA/compute pipeline), VMEM budget. ``require_whole_k``
+    restricts to bk == K (the in-kernel act-order permute needs it).
+    Returns (bn, bk); bk is None if no candidate fits (caller falls back).
+    """
+    step = math.lcm(groupsize, 128)
+    best = None
+    for bn in range(N_ALIGN, n_pad + 1, N_ALIGN):
+        if n_pad % bn != 0:
+            continue
+        bks = [
+            bk
+            for bk in range(step, k + 1, step)
+            if k % bk == 0
+            and (not require_whole_k or bk == k)
+            and _vmem_bytes(bk, bn, bm, groupsize) <= GEMV_VMEM_BUDGET
+        ]
+        if not bks:
+            continue
+        bk = max(bks)
+        steps = (n_pad // bn) * (k // bk)
+        step_bytes = bk * bn // 2
+        ok = step_bytes <= GEMV_STEP_BYTES_MAX and steps >= 2
+        key = (ok, -steps, bn)
+        if best is None or key > best[0]:
+            best = (key, bn, bk)
+    if best is None:
+        return N_ALIGN, None
+    return best[1], best[2]
 
 
 def _vmem_bytes(bk: int, bn: int, bm: int, groupsize: int) -> int:

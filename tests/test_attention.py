@@ -57,6 +57,38 @@ def test_flash_per_row_past_and_mask():
     np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize(
+    "h,hkv,t",
+    [
+        (56, 8, 80),   # Yi-34B GQA ratio g=7: non-power-of-2, r_total=560
+        (12, 4, 128),  # g=3, r_total=384 > 256 exercises the tiled branch
+    ],
+)
+def test_flash_prefill_non_pow2_gqa(h, hkv, t):
+    """g that does not divide 512 used to hang the q-tile chooser forever
+    (ADVICE r1); the tile must start from a multiple of g."""
+    d, s_max, past = 128, 128, 0
+    q, kc, vc = make_case(1, t, h, hkv, d, s_max, past, seed=3)
+    pl_ = jnp.int32(past)
+    ref = np.asarray(attend_xla(q, kc, vc, pl_, 128), np.float32)
+    got = np.asarray(
+        attend_flash(q, kc, vc, pl_, 128, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_flash_head_dim_64():
+    """D=64 rides the full-dimension legality rule (VERDICT #10)."""
+    b, t, h, hkv, d, s_max = 1, 8, 4, 2, 64, 64
+    q, kc, vc = make_case(b, t, h, hkv, d, s_max, 7, seed=11)
+    pl_ = jnp.int32(7)
+    ref = np.asarray(attend_xla(q, kc, vc, pl_, 64), np.float32)
+    got = np.asarray(
+        attend_flash(q, kc, vc, pl_, 64, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
 def test_update_kv_cache_layout():
     b, hkv, s, d, t = 2, 2, 32, 128, 4
     kc = jnp.zeros((b, hkv, s, d), jnp.bfloat16)
