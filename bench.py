@@ -78,16 +78,14 @@ def main():
         head_dim=cfg.head_dim,
         eps=cfg.rms_norm_eps,
         matmul_impl=model._matmul_impl(),
+        head_mode="argmax",
     )
 
     @functools.partial(jax.jit, donate_argnames=("kv",))
     def decode_n(params, kv, tok, past_len):
         def body(i, carry):
             kv, tok, pos = carry
-            logits, kv = step(params, kv, tok, pos, None, None)
-            tok = jnp.argmax(logits[:, -1, :], axis=-1)[:, None].astype(
-                jnp.int32
-            )
+            tok, kv = step(params, kv, tok, pos, None, None)
             return kv, tok, pos + 1
         kv, tok, pos = jax.lax.fori_loop(
             0, decode_len, body, (kv, tok, past_len)
@@ -122,16 +120,14 @@ def main():
         eps=cfg.rms_norm_eps,
         matmul_impl=model._matmul_impl(),
         attn_impl=model._attn_impl(),
+        head_mode="argmax",
     )
 
     @functools.partial(jax.jit, donate_argnames=("kv",))
     def decode_best(params, kv, tok, past_len):
         def body(i, carry):
             kv, tok, pos = carry
-            logits, kv = step_best(params, kv, tok, pos, None, None)
-            tok = jnp.argmax(logits[:, -1, :], axis=-1)[:, None].astype(
-                jnp.int32
-            )
+            tok, kv = step_best(params, kv, tok, pos, None, None)
             return kv, tok, pos + 1
         kv, tok, pos = jax.lax.fori_loop(
             0, decode_len, body, (kv, tok, past_len)
@@ -175,16 +171,14 @@ def main():
         head_dim=cfg.head_dim,
         eps=cfg.rms_norm_eps,
         matmul_impl="pallas_a8",
+        head_mode="argmax",
     )
 
     @functools.partial(jax.jit, donate_argnames=("kv",))
     def decode_turbo(params, kv, tok, past_len):
         def body(i, carry):
             kv, tok, pos = carry
-            logits, kv = step_turbo(params, kv, tok, pos, None, None)
-            tok = jnp.argmax(logits[:, -1, :], axis=-1)[:, None].astype(
-                jnp.int32
-            )
+            tok, kv = step_turbo(params, kv, tok, pos, None, None)
             return kv, tok, pos + 1
         kv, tok, pos = jax.lax.fori_loop(
             0, decode_len, body, (kv, tok, past_len)

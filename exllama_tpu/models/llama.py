@@ -125,6 +125,7 @@ def _decoder_layer(
     matmul_impl: str,
     attn_impl: str = "auto",
     lora=None,
+    defer_kv: bool = False,
 ):
     b, t, hidden = h.shape
 
@@ -138,18 +139,13 @@ def _decoder_layer(
 
     def lora_add(out, x, name):
         # Low-rank add for slices of a fused projection (same math as the
-        # fused-lora path inside q4_matmul).
+        # fused-lora path inside q4_matmul; handles per-row adapters too).
         ab = lora_ab(name)
         if ab is None:
             return out
-        a_, b_ = ab
-        return out + jnp.dot(
-            jnp.dot(
-                x, a_.astype(x.dtype), preferred_element_type=jnp.float32
-            ).astype(x.dtype),
-            b_.astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        from exllama_tpu.ops.quant import lora_delta
+
+        return out + lora_delta(x, ab)
 
     # --- attention (reference ExLlamaAttention.forward, model.py:421-502)
     a = rms_norm(h, lp.input_norm, eps)
@@ -171,9 +167,19 @@ def _decoder_layer(
     v = v.reshape(b, t, cfg_kv_heads, cfg_head_dim)
     q = apply_rope_sliced(q, rope_sin, rope_cos)
     k = apply_rope_sliced(k, rope_sin, rope_cos)
-    kc, vc, ksc, vsc = update_kv_cache(kc, vc, k, v, past_len, ksc, vsc)
-    attn = attend(q, kc, vc, past_len, attend_len, input_mask,
-                  impl=attn_impl, k_scale=ksc, v_scale=vsc)
+    k_row = v_row = None
+    if defer_kv:
+        # deferred commit (T=1): attend folds the in-flight row in; the
+        # caller batches all layers' cache writes into one kernel call
+        # (ops/attention.commit_kv_cache)
+        k_row, v_row = k, v
+        attn = attend(q, kc, vc, past_len, attend_len, input_mask,
+                      impl=attn_impl, k_scale=ksc, v_scale=vsc,
+                      new_kv=(k, v))
+    else:
+        kc, vc, ksc, vsc = update_kv_cache(kc, vc, k, v, past_len, ksc, vsc)
+        attn = attend(q, kc, vc, past_len, attend_len, input_mask,
+                      impl=attn_impl, k_scale=ksc, v_scale=vsc)
     h = h + proj(attn.reshape(b, t, cfg_heads * cfg_head_dim), lp.o, "o")
 
     # --- MLP (reference ExLlamaMLP.forward, model.py:266-273)
@@ -189,7 +195,7 @@ def _decoder_layer(
         u = proj(a, lp.up, "up")
     h = h + proj(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                  lp.down, "down")
-    return h, kc, vc, ksc, vsc
+    return h, kc, vc, ksc, vsc, k_row, v_row
 
 
 @functools.partial(
@@ -204,6 +210,7 @@ def _decoder_layer(
         "eps",
         "matmul_impl",
         "attn_impl",
+        "head_mode",
     ),
     donate_argnames=("kv",),
 )
@@ -224,6 +231,7 @@ def forward_chunk(
     eps: float,
     matmul_impl: str,
     attn_impl: str = "auto",
+    head_mode: str = "logits",
 ):
     """One forward chunk over all layers. Returns (logits|None, new KV).
 
@@ -255,32 +263,67 @@ def forward_chunk(
     )
 
     quantized_kv = kv.k_scale is not None
+    # Deferred commit for decode steps (T=1): layers attend over the cache
+    # plus their in-flight row; all layers' cache writes happen in ONE
+    # batched kernel call at the end instead of 2·L update-slice ops.
+    defer = t == 1
     k_new, v_new, ks_new, vs_new = [], [], [], []
+    k_rows, v_rows = [], []
     for li, lp in enumerate(params.layers):
         lw = None if lora is None else lora[li]
-        h, kc, vc, ksc, vsc = layer_fn(
+        h, kc, vc, ksc, vsc, k_row, v_row = layer_fn(
             h, lp, kv.k[li], kv.v[li],
             kv.k_scale[li] if quantized_kv else None,
             kv.v_scale[li] if quantized_kv else None,
             lora=lw,
+            defer_kv=defer,
         )
-        k_new.append(kc)
-        v_new.append(vc)
-        ks_new.append(ksc)
-        vs_new.append(vsc)
-    new_kv = KVCacheState(
-        k=tuple(k_new),
-        v=tuple(v_new),
-        k_scale=tuple(ks_new) if quantized_kv else None,
-        v_scale=tuple(vs_new) if quantized_kv else None,
-    )
+        if defer:
+            k_rows.append(k_row)
+            v_rows.append(v_row)
+        else:
+            k_new.append(kc)
+            v_new.append(vc)
+            ks_new.append(ksc)
+            vs_new.append(vsc)
+    if defer:
+        from exllama_tpu.ops.attention import commit_kv_cache
+
+        ks, vs, kss, vss = commit_kv_cache(
+            kv.k, kv.v,
+            jnp.stack(k_rows), jnp.stack(v_rows), past_len,
+            kv.k_scale, kv.v_scale,
+        )
+        new_kv = KVCacheState(k=ks, v=vs, k_scale=kss, v_scale=vss)
+    else:
+        new_kv = KVCacheState(
+            k=tuple(k_new),
+            v=tuple(v_new),
+            k_scale=tuple(ks_new) if quantized_kv else None,
+            v_scale=tuple(vs_new) if quantized_kv else None,
+        )
 
     if preprocess_only:
         return None, new_kv
 
     if last_token_only:
         h = h[:, -1:, :]
+    if head_mode == "argmax" and not isinstance(params.lm_head, QuantTensor):
+        # Greedy decode head: rms_norm + lm_head GEMV + argmax fused into
+        # one kernel (ops/dense.head_argmax) — nothing downstream needs the
+        # [B, V] fp32 logits, so skip materializing them entirely.
+        from exllama_tpu.ops.dense import head_argmax
+
+        tok = head_argmax(
+            h, params.norm, params.lm_head, eps,
+            impl=(matmul_impl if matmul_impl.startswith("pallas")
+                  else "xla"),
+        )
+        return tok, new_kv
     h = rms_norm(h, params.norm, eps)
+    if head_mode == "argmax":
+        logits = q4_matmul(h, params.lm_head, impl=matmul_impl)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kv
     if isinstance(params.lm_head, QuantTensor):
         logits = q4_matmul(h, params.lm_head, impl=matmul_impl).astype(
             jnp.float32

@@ -112,6 +112,175 @@ def update_kv_cache(
 
 
 # ---------------------------------------------------------------------------
+# Deferred-commit batched KV write
+# ---------------------------------------------------------------------------
+
+def _commit_kernel(
+    *refs,
+    n_layers: int,
+    batch: int,
+    per_slot: bool,
+    quantized: bool,
+):
+    """Write every layer's T=1 KV rows into its cache at the step cursor via
+    in-kernel DMAs — one kernel call replaces the 2·L (or 4·L with int8
+    scales) dynamic-update-slice ops of the per-layer write path (~4 µs of
+    op overhead each, ~0.26 ms/token at 7B). TPU counterpart of the
+    reference's update_cache_kernel inside q4_attn (q4_attn.cu:19-72), but
+    batched over all layers.
+
+    Ref order: past, nk, nv, [nks, nvs], L·n_arr input caches (unused —
+    aliased), L·n_arr output caches, DMA semaphore array.
+    """
+    L = n_layers
+    n_per_layer = 4 if quantized else 2
+    n_arr = L * n_per_layer
+    past_ref = refs[0]
+    nk_ref, nv_ref = refs[1], refs[2]
+    nks_ref, nvs_ref = (refs[3], refs[4]) if quantized else (None, None)
+    base = 3 + (2 if quantized else 0)
+    outs = refs[base + n_arr : base + 2 * n_arr]
+    sems = refs[-1]
+    kc = outs[0:L]
+    vc = outs[L : 2 * L]
+    ksc = outs[2 * L : 3 * L] if quantized else None
+    vsc = outs[3 * L : 4 * L] if quantized else None
+
+    rounds = range(batch) if per_slot else [None]
+    for b in rounds:
+        dmas = []
+        idx = 0
+        for li in range(L):
+            if b is None:
+                past = past_ref[0, 0]
+                pairs = [
+                    (nk_ref.at[li], kc[li].at[:, :, pl.ds(past, 1), :]),
+                    (nv_ref.at[li], vc[li].at[:, :, pl.ds(past, 1), :]),
+                ]
+                if quantized:
+                    pairs += [
+                        (nks_ref.at[li], ksc[li].at[:, :, pl.ds(past, 1)]),
+                        (nvs_ref.at[li], vsc[li].at[:, :, pl.ds(past, 1)]),
+                    ]
+            else:
+                past = past_ref[b, 0]
+                pairs = [
+                    (nk_ref.at[li, b], kc[li].at[b, :, pl.ds(past, 1), :]),
+                    (nv_ref.at[li, b], vc[li].at[b, :, pl.ds(past, 1), :]),
+                ]
+                if quantized:
+                    pairs += [
+                        (nks_ref.at[li, b], ksc[li].at[b, :, pl.ds(past, 1)]),
+                        (nvs_ref.at[li, b], vsc[li].at[b, :, pl.ds(past, 1)]),
+                    ]
+            for src, dst in pairs:
+                dma = pltpu.make_async_copy(src, dst, sems.at[idx])
+                dma.start()
+                dmas.append(dma)
+                idx += 1
+        for dma in dmas:
+            dma.wait()
+
+
+def commit_kv_cache(
+    k_caches: tuple,      # L × [B, Hkv, S_max, D] (bf16 or int8)
+    v_caches: tuple,
+    new_k: jax.Array,     # [L, B, T=1, Hkv, D] bf16 rows (pre-quantization)
+    new_v: jax.Array,
+    past_len: jax.Array,  # scalar int32, or [B] per-slot cursors
+    k_scales: "tuple | None" = None,   # L × [B, Hkv, S_max] f32
+    v_scales: "tuple | None" = None,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Batched deferred commit: one kernel writes all layers' rows.
+
+    Returns (k_caches, v_caches, k_scales, v_scales) as new tuples whose
+    buffers alias the inputs (in place under jit with donated caches).
+    ``impl='xla'`` falls back to per-layer dynamic-update-slices (CPU path,
+    and the correctness oracle for the kernel).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    L = len(k_caches)
+    quantized = k_scales is not None
+
+    if impl == "xla":
+        ks, vs, kss, vss = [], [], [], []
+        for li in range(L):
+            kcl, vcl, kscl, vscl = update_kv_cache(
+                k_caches[li], v_caches[li], new_k[li], new_v[li], past_len,
+                k_scales[li] if quantized else None,
+                v_scales[li] if quantized else None,
+            )
+            ks.append(kcl)
+            vs.append(vcl)
+            kss.append(kscl)
+            vss.append(vscl)
+        return (
+            tuple(ks), tuple(vs),
+            tuple(kss) if quantized else None,
+            tuple(vss) if quantized else None,
+        )
+
+    b = new_k.shape[1]
+    per_slot = past_len.ndim == 1
+    if quantized:
+        qk, sk = quantize_kv_rows(new_k)       # [L,B,1,Hkv,D], [L,B,1,Hkv]
+        qv, sv = quantize_kv_rows(new_v)
+        nk = jnp.swapaxes(qk, 2, 3)            # [L, B, Hkv, 1, D] int8
+        nv = jnp.swapaxes(qv, 2, 3)
+        nks = jnp.swapaxes(sk, 2, 3)           # [L, B, Hkv, 1] f32
+        nvs = jnp.swapaxes(sv, 2, 3)
+        news = [nk, nv, nks, nvs]
+    else:
+        cd = k_caches[0].dtype
+        nk = jnp.swapaxes(new_k, 2, 3).astype(cd)
+        nv = jnp.swapaxes(new_v, 2, 3).astype(cd)
+        news = [nk, nv]
+    past_b = jnp.broadcast_to(
+        past_len.astype(jnp.int32).reshape(-1, 1),
+        (b if per_slot else 1, 1),
+    )
+
+    caches = list(k_caches) + list(v_caches)
+    if quantized:
+        caches += list(k_scales) + list(v_scales)
+    n_arr = len(caches)
+    n_new = len(news)
+    n_per_round = L * (4 if quantized else 2)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _commit_kernel,
+            n_layers=L,
+            batch=b,
+            per_slot=per_slot,
+            quantized=quantized,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_new
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_arr)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches
+        ),
+        input_output_aliases={1 + n_new + i: i for i in range(n_arr)},
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_per_round,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(past_b, *news, *caches)
+
+    ks = tuple(out[0:L])
+    vs = tuple(out[L : 2 * L])
+    kss = tuple(out[2 * L : 3 * L]) if quantized else None
+    vss = tuple(out[3 * L : 4 * L]) if quantized else None
+    return ks, vs, kss, vss
+
+
+# ---------------------------------------------------------------------------
 # XLA oracle path
 # ---------------------------------------------------------------------------
 
@@ -124,10 +293,14 @@ def attend_xla(
     input_mask: Optional[jax.Array] = None,  # [B, S_max] bool, True = valid
     k_scale: Optional[jax.Array] = None,     # [B, Hkv, S_max] f32
     v_scale: Optional[jax.Array] = None,
+    new_kv: "Optional[tuple[jax.Array, jax.Array]]" = None,  # [B,1,Hkv,D] ×2
 ) -> jax.Array:
     b, t, h, d = q.shape
     hkv = k_cache.shape[1]
     g = h // hkv
+    deferred = new_kv is not None
+    if deferred:
+        assert t == 1, "deferred-commit attend is a decode-only path"
 
     k = k_cache[:, :, :attend_len]
     v = v_cache[:, :, :attend_len]
@@ -151,16 +324,32 @@ def attend_xla(
     t_off = jnp.arange(t, dtype=jnp.int32)             # [T]
     if past_len.ndim == 1:
         t_pos = past_len[:, None] + t_off[None, :]     # [B, T]
-        causal = s_pos[None, None, :] <= t_pos[:, :, None]  # [B, T, S]
+        if deferred:  # position past holds stale data; own row comes below
+            causal = s_pos[None, None, :] < t_pos[:, :, None]
+        else:
+            causal = s_pos[None, None, :] <= t_pos[:, :, None]  # [B, T, S]
         mask = causal[:, None, None, :, :]
     else:
         t_pos = past_len + t_off[:, None]              # [T, 1]
-        causal = s_pos[None, :] <= t_pos               # [T, S]
+        if deferred:
+            causal = s_pos[None, :] < t_pos            # [T, S]
+        else:
+            causal = s_pos[None, :] <= t_pos           # [T, S]
         mask = causal[None, None, None, :, :]
     if input_mask is not None:
         valid = input_mask[:, :attend_len][:, None, None, None, :]
         mask = jnp.logical_and(mask, valid)
     scores = jnp.where(mask, scores, NEG_INF)
+
+    if deferred:
+        # append the in-flight row: the query's own position, always valid
+        kn = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)  # [B, Hkv, 1, D]
+        vn = jnp.swapaxes(new_kv[1], 1, 2).astype(v.dtype)
+        s_new = jnp.einsum(
+            "bthgd,bhsd->bhgts", qf, kn, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.concatenate([scores, s_new], axis=-1)
+        v = jnp.concatenate([v, vn], axis=2)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhgts,bhsd->bthgd", probs, v)
@@ -179,6 +368,8 @@ def _flash_kernel(
     ks_ref,      # [1, 1, 1, bk] f32 per-row K scales (int8 cache) or None
     vs_ref,      # [1, 1, 1, bk] f32 per-row V scales or None
     bias_ref,    # [1, 1, bk] f32 additive padding bias (0 / NEG) or None
+    kn_ref,      # [1, 1, 1, D] bf16 in-flight K row (deferred commit) or None
+    vn_ref,      # [1, 1, 1, D] bf16 in-flight V row or None
     o_ref,       # [1, 1, R, D]
     m_scr,       # [R, 128] f32
     l_scr,       # [R, 128] f32
@@ -195,6 +386,7 @@ def _flash_kernel(
     qi = pl.program_id(2)
     si = pl.program_id(3)
     r = q_ref.shape[2]
+    deferred = kn_ref is not None
 
     @pl.when(si == 0)
     def _():
@@ -208,7 +400,7 @@ def _flash_kernel(
     # skip KV blocks fully above the causal diagonal of this q tile
     t_max = qi * bq + (r - 1) // g
 
-    @pl.when(si * bk <= past + t_max)
+    @pl.when(si * bk <= past + t_max - (1 if deferred else 0))
     def _():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -222,7 +414,12 @@ def _flash_kernel(
             s = s * ks_ref[0, 0]        # [1, bk] f32 per-row K scales
         s = s * scale
         s_pos = si * bk + jax.lax.broadcasted_iota(jnp.int32, (r, bk), 1)
-        ok = (s_pos <= past + t_of_row) & (t_of_row < t_total)
+        if deferred:
+            # cache position past holds stale data — the query's own row
+            # arrives via kn/vn instead (deferred-commit decode)
+            ok = (s_pos < past + t_of_row) & (t_of_row < t_total)
+        else:
+            ok = (s_pos <= past + t_of_row) & (t_of_row < t_total)
         s = jnp.where(ok, s, _MASK_VALUE)
         if have_bias:
             s = s + bias_ref[0, 0][None, :]
@@ -247,9 +444,28 @@ def _flash_kernel(
 
     @pl.when(si == pl.num_programs(3) - 1)
     def _():
-        l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        acc = acc_scr[:]
+        if deferred:
+            # fold in the in-flight row (the query's own position); always
+            # causally valid for every real query row of a T=1 step. An
+            # all-masked main loop leaves m_prev = _MASK_VALUE, whose alpha
+            # underflows to exactly 0 — the garbage accumulator drops out.
+            q = q_ref[0, 0]
+            kn = kn_ref[0, 0]                            # [1, D]
+            s_new = jax.lax.dot_general(
+                q, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                    # [R, 1]
+            m_fin = jnp.maximum(m_prev, s_new)
+            alpha = jnp.exp(m_prev - m_fin)
+            p_new = jnp.exp(s_new - m_fin)               # [R, 1]
+            l_prev = alpha * l_prev + p_new
+            vn = vn_ref[0, 0].astype(jnp.float32)        # [1, D]
+            acc = acc * alpha + p_new * vn
+        l = jnp.where(l_prev == 0.0, 1.0, l_prev)
+        o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -264,6 +480,8 @@ def _attend_flash_padded(
     bias: Optional[jax.Array],  # [B, S_max] f32 or None
     k_scale: Optional[jax.Array],  # [B, Hkv, 1, S_max] f32 or None
     v_scale: Optional[jax.Array],
+    k_new: Optional[jax.Array] = None,  # [B, Hkv, 1, D] in-flight row
+    v_new: Optional[jax.Array] = None,
     *,
     attend_len: int,
     t_total: int,
@@ -333,18 +551,32 @@ def _attend_flash_padded(
                          memory_space=pltpu.VMEM)
         )
         args.append(bias)
+    have_new = k_new is not None
+    if have_new:
+        assert t_total == 1, "deferred-commit attend is a decode-only path"
+        for nr in (k_new, v_new):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, d), lambda b, h, qi, si, *_: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(nr)
 
     def kern(past_ref, q_ref, k_ref, v_ref, *rest):
         rest = list(rest)
-        ks_ref = vs_ref = bias_ref = None
+        ks_ref = vs_ref = bias_ref = kn_ref = vn_ref = None
         if have_scales:
             ks_ref = rest.pop(0)
             vs_ref = rest.pop(0)
         if bias is not None:
             bias_ref = rest.pop(0)
+        if have_new:
+            kn_ref = rest.pop(0)
+            vn_ref = rest.pop(0)
         o_ref, m, l, acc = rest
         return kernel(past_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                      bias_ref, o_ref, m, l, acc)
+                      bias_ref, kn_ref, vn_ref, o_ref, m, l, acc)
 
     return pl.pallas_call(
         kern,
@@ -380,6 +612,7 @@ def attend_flash(
     input_mask: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,   # [B, Hkv, S_max] f32
     v_scale: Optional[jax.Array] = None,
+    new_kv: "Optional[tuple[jax.Array, jax.Array]]" = None,  # [B,1,Hkv,D] ×2
     interpret: bool = False,
 ) -> jax.Array:
     b, t, h, d = q.shape
@@ -409,8 +642,12 @@ def attend_flash(
     # kernel's (1, 1, 1, bk) scale blocks Mosaic-legal (see verify skill).
     ks4 = None if k_scale is None else k_scale[:, :, None, :]
     vs4 = None if v_scale is None else v_scale[:, :, None, :]
+    k_new = v_new = None
+    if new_kv is not None:
+        k_new = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)  # [B,Hkv,1,D]
+        v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
     out = _attend_flash_padded(
-        qr, k_cache, v_cache, past_b, bias, ks4, vs4,
+        qr, k_cache, v_cache, past_b, bias, ks4, vs4, k_new, v_new,
         attend_len=attend_len, t_total=t, g=g, interpret=interpret,
     )
     out = out[:, :, : t * g, :]
@@ -428,6 +665,7 @@ def attend(
     impl: str = "auto",
     k_scale: Optional[jax.Array] = None,     # [B, Hkv, S_max] f32 (int8 KV)
     v_scale: Optional[jax.Array] = None,
+    new_kv: "Optional[tuple[jax.Array, jax.Array]]" = None,  # [B,1,Hkv,D] ×2
 ) -> jax.Array:
     """Masked causal GQA attention. Returns [B, T, H, D] in q.dtype.
 
@@ -437,6 +675,12 @@ def attend(
     A [B]-shaped past_len gives each row its own cursor (continuous
     batching slots). int8 caches pass per-row scales; both impls dequantize
     on the fly (the kernel inside its KV tiles).
+
+    ``new_kv`` enables deferred-commit decode (T=1): the current token's
+    K/V rows are NOT yet in the cache — position past_len is masked out and
+    the in-flight rows are folded into the online softmax instead. The
+    caller batches all layers' cache writes into one commit per step
+    (commit_kv_cache), replacing 2·L dynamic-update-slice ops.
     """
     if impl == "auto":
         # flash kernel needs a lane-legal D; odd head dims (e.g. 100 on
@@ -450,16 +694,16 @@ def attend(
     if impl == "xla":
         return attend_xla(
             q, k_cache, v_cache, past_len, attend_len, input_mask,
-            k_scale, v_scale,
+            k_scale, v_scale, new_kv,
         )
     if impl == "flash":
         return attend_flash(
             q, k_cache, v_cache, past_len, attend_len, input_mask,
-            k_scale, v_scale,
+            k_scale, v_scale, new_kv,
         )
     if impl == "flash_interpret":
         return attend_flash(
             q, k_cache, v_cache, past_len, attend_len, input_mask,
-            k_scale, v_scale, interpret=True,
+            k_scale, v_scale, new_kv, interpret=True,
         )
     raise ValueError(f"unknown attention impl: {impl}")

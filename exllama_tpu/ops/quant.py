@@ -832,19 +832,29 @@ def _q4_matmul_pallas(
     n_pad = qt.padded_out_features
     import os
     deqw2_bn = int(os.environ.get("DEQW2_BN", str(N_ALIGN)))
-    bn = _choose_block_n(n_pad)
-    if qt.layout == "npair":
-        assert bn == N_ALIGN, (bn, n_pad)  # one column-pair block per step
+    bk_pref = None
+    if qt.layout == "npair" and kind in ("gemv", "gemv_a8"):
+        # in-kernel act-order permute needs whole-K blocks; try that first
+        want_whole_k = (
+            qt.x_map is not None
+            and k % 128 == 0
+            and k // 128 <= KERNEL_PERMUTE_MAX_BLOCKS
+        )
+        bn, bk_pref = _choose_gemv_blocks_npair(
+            k, n_pad, qt.groupsize, bm, require_whole_k=want_whole_k
+        )
+        if bk_pref is None:
+            want_whole_k = False
+            bn, bk_pref = _choose_gemv_blocks_npair(k, n_pad, qt.groupsize, bm)
+    else:
+        want_whole_k = False
+        bn = _choose_block_n(n_pad)
+        if qt.layout == "npair":
+            assert bn == N_ALIGN, (bn, n_pad)  # one pair block per step
 
     sb = im = None
     if qt.x_map is not None:
-        kernel_perm = (
-            kind in ("gemv", "gemv_a8")
-            and qt.layout == "npair"
-            and k % 128 == 0
-            and k // 128 <= KERNEL_PERMUTE_MAX_BLOCKS
-            and _choose_block_k(k, qt.groupsize, bn, bm=bm) == k
-        )
+        kernel_perm = want_whole_k and bk_pref == k
         if kernel_perm:
             xm = qt.x_map.astype(jnp.int32)
             sb = (xm // 128)[None, :]
@@ -871,7 +881,11 @@ def _q4_matmul_pallas(
         )
         out = out[:m, : qt.out_features]
         return out.reshape(*lead, qt.out_features)
-    bk = _choose_block_k(k, qt.groupsize, bn, bm=bm)
+    bk = (
+        bk_pref
+        if bk_pref is not None
+        else _choose_block_k(k, qt.groupsize, bn, bm=bm)
+    )
     out = _q4_matmul_pallas_call(
         x2,
         qt.qweight,
@@ -933,11 +947,30 @@ def q4_matmul(
         raise ValueError(f"unknown q4_matmul impl: {impl}")
 
     if lora is not None:
-        a, b = lora
-        out = out + jnp.dot(
+        out = out + lora_delta(x, lora)
+    return out
+
+
+def lora_delta(x: jax.Array, lora) -> jax.Array:
+    """Low-rank LoRA contribution ``x @ A @ B``.
+
+    A/B may be [in, r]/[r, out] (one adapter for the whole batch) or
+    [B, in, r]/[B, r, out] (per-row adapters — continuous-batching slots
+    each carrying their own adapter; zero rows = slot without adapter).
+    """
+    a, b = lora
+    if a.ndim == 2:
+        return jnp.dot(
             jnp.dot(x, a.astype(x.dtype), preferred_element_type=jnp.float32)
             .astype(x.dtype),
             b.astype(x.dtype),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-    return out
+    xr = jnp.einsum(
+        "bti,bir->btr", x, a.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return jnp.einsum(
+        "btr,bro->bto", xr, b.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)

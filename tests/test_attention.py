@@ -89,6 +89,87 @@ def test_flash_head_dim_64():
     np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize("per_slot", [False, True])
+def test_deferred_attend_matches_committed(per_slot):
+    """attend(new_kv=row) over a cache WITHOUT the current row must equal
+    attend over the cache WITH the row committed (both impls)."""
+    b, t, h, hkv, d, s_max = 2, 1, 8, 4, 128, 64
+    rng = np.random.default_rng(5)
+    q, kc, vc = make_case(b, t, h, hkv, d, s_max, 0, seed=5)
+    nk = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.bfloat16)
+    nv = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.bfloat16)
+    past = (
+        jnp.asarray([13, 37], jnp.int32) if per_slot else jnp.int32(21)
+    )
+    kc2, vc2, _, _ = update_kv_cache(kc, vc, nk, nv, past)
+    ref = np.asarray(attend_xla(q, kc2, vc2, past, s_max), np.float32)
+    got_xla = np.asarray(
+        attend_xla(q, kc, vc, past, s_max, new_kv=(nk, nv)), np.float32
+    )
+    np.testing.assert_allclose(got_xla, ref, atol=3e-2, rtol=3e-2)
+    got_fl = np.asarray(
+        attend_flash(q, kc, vc, past, s_max, new_kv=(nk, nv),
+                     interpret=True),
+        np.float32,
+    )
+    np.testing.assert_allclose(got_fl, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_deferred_attend_empty_cache():
+    """past=0: everything comes from the in-flight row."""
+    b, t, h, hkv, d, s_max = 1, 1, 4, 2, 128, 64
+    rng = np.random.default_rng(6)
+    q, kc, vc = make_case(b, t, h, hkv, d, s_max, 0, seed=6)
+    nk = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.bfloat16)
+    nv = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.bfloat16)
+    past = jnp.int32(0)
+    kc2, vc2, _, _ = update_kv_cache(
+        jnp.zeros_like(kc), jnp.zeros_like(vc), nk, nv, past
+    )
+    ref = np.asarray(attend_xla(q, kc2, vc2, past, s_max), np.float32)
+    for fn in (attend_xla, lambda *a, **kw: attend_flash(
+            *a, **kw, interpret=True)):
+        got = np.asarray(
+            fn(q, kc, vc, past, s_max, new_kv=(nk, nv)), np.float32
+        )
+        np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("per_slot,quantized", [
+    (False, False), (True, False), (False, True), (True, True),
+])
+def test_commit_kv_cache_kernel_matches_xla(per_slot, quantized):
+    from exllama_tpu.ops.attention import commit_kv_cache
+
+    L, b, hkv, s, d = 3, 2, 2, 32, 128
+    rng = np.random.default_rng(9)
+    if quantized:
+        kcs = tuple(jnp.zeros((b, hkv, s, d), jnp.int8) for _ in range(L))
+        vcs = tuple(jnp.zeros((b, hkv, s, d), jnp.int8) for _ in range(L))
+        kss = tuple(jnp.zeros((b, hkv, s), jnp.float32) for _ in range(L))
+        vss = tuple(jnp.zeros((b, hkv, s), jnp.float32) for _ in range(L))
+    else:
+        kcs = tuple(jnp.zeros((b, hkv, s, d), jnp.bfloat16) for _ in range(L))
+        vcs = tuple(jnp.zeros((b, hkv, s, d), jnp.bfloat16) for _ in range(L))
+        kss = vss = None
+    nk = jnp.asarray(rng.standard_normal((L, b, 1, hkv, d)), jnp.bfloat16)
+    nv = jnp.asarray(rng.standard_normal((L, b, 1, hkv, d)), jnp.bfloat16)
+    past = jnp.asarray([4, 19], jnp.int32) if per_slot else jnp.int32(7)
+
+    ref = commit_kv_cache(kcs, vcs, nk, nv, past, kss, vss, impl="xla")
+    got = commit_kv_cache(
+        kcs, vcs, nk, nv, past, kss, vss, impl="pallas", interpret=True
+    )
+    for r_t, g_t in zip(ref, got):
+        if r_t is None:
+            assert g_t is None
+            continue
+        for r, g in zip(r_t, g_t):
+            np.testing.assert_array_equal(
+                np.asarray(r, np.float32), np.asarray(g, np.float32)
+            )
+
+
 def test_update_kv_cache_layout():
     b, hkv, s, d, t = 2, 2, 32, 128, 4
     kc = jnp.zeros((b, hkv, s, d), jnp.bfloat16)

@@ -210,3 +210,43 @@ def test_fusion_skipped_for_act_order():
     params = make_synthetic_params(cfg, 32, act_order=True, seed=1)
     assert params.layers[0].qkv is None
     assert params.layers[0].q is not None
+
+
+def test_head_mode_argmax_matches_logits_argmax():
+    """forward_chunk(head_mode='argmax') must pick the same token as
+    argmax over the logits head, for dense and quantized lm_heads."""
+    import functools
+
+    import jax
+
+    from exllama_tpu.models.llama import forward_chunk
+
+    for quant_head in (False, True):
+        cfg = tiny_config()
+        if quant_head:
+            cfg.tuning.quantize_lm_head = True
+        model = make_model(cfg)
+        cache = ExLlamaCache(model)
+        ids = (np.arange(9, dtype=np.int32)[None, :] * 5 + 2) % 128
+        lg = model.forward(ids, cache)
+        tok0 = int(np.argmax(np.asarray(lg)[0, -1]))
+
+        step = functools.partial(
+            forward_chunk,
+            attend_len=64, last_token_only=True, preprocess_only=False,
+            heads=cfg.num_attention_heads,
+            kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim, eps=cfg.rms_norm_eps,
+            matmul_impl="xla",
+        )
+        kv0 = jax.tree.map(lambda x: x.copy(), cache.state)
+        lg2, _ = step(model.params, kv0,
+                      jnp.asarray([[tok0]], jnp.int32),
+                      jnp.int32(cache.current_seq_len), None, None)
+        ref = int(np.argmax(np.asarray(lg2)[0, -1]))
+        kv1 = jax.tree.map(lambda x: x.copy(), cache.state)
+        tok, _ = functools.partial(step, head_mode="argmax")(
+            model.params, kv1, jnp.asarray([[tok0]], jnp.int32),
+            jnp.int32(cache.current_seq_len), None, None)
+        assert tok.shape == (1, 1) and tok.dtype == jnp.int32
+        assert int(tok[0, 0]) == ref, (quant_head, int(tok[0, 0]), ref)
