@@ -131,3 +131,22 @@ def test_session_rename_new_delete(server):
         {"session": "my test session"})
     _, data = req(server, "GET", "/api/populate")
     assert "my test session" not in json.loads(data)["sessions"]
+
+
+def test_static_assets_served(server):
+    """The full frontend (main.js + style.css) is served and self-consistent:
+    index references both, and main.js drives every API route."""
+    status, html = req(server, "GET", "/")
+    assert status == 200
+    assert b"/static/main.js" in html and b"/static/style.css" in html
+    status, js = req(server, "GET", "/static/main.js")
+    assert status == 200
+    status, css = req(server, "GET", "/static/style.css")
+    assert status == 200 and b"#sidebar" in css
+    for route in (
+        b"/api/populate", b"/api/edit_block", b"/api/delete_block",
+        b"/api/append_block", b"/api/rename_session", b"/api/delete_session",
+        b"/api/set_fixed_prompt", b"/api/set_gen_settings",
+        b"/api/set_session", b"/api/set_participants", b"/api/userinput",
+    ):
+        assert route in js, route
