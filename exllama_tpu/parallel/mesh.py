@@ -104,24 +104,33 @@ def param_shardings(params, mesh: Mesh):
         ok = _can_shard_out(qt, tp) if want == "out" else _can_shard_in(qt, tp)
         return _quant_specs(qt, want if ok else "none")
 
-    if any(lp.qkv is not None or lp.gateup is not None for lp in params.layers):
+    if tp > 1 and any(
+        lp.qkv is not None or lp.gateup is not None for lp in params.layers
+    ):
         raise ValueError(
             "TP sharding requires unfused projections: load with "
             "tuning.fuse_projections=False (fused qkv/gateup column blocks "
             "would straddle shard boundaries)"
         )
 
+    def opt(qt, want):
+        # fused (dp-only) layers have q/k/v/gate/up = None and carry
+        # replicated qkv/gateup instead
+        return None if qt is None else spec_for(qt, want)
+
     layer_specs = tuple(
         LayerParams(
             input_norm=P(None),
             post_norm=P(None),
-            q=spec_for(lp.q, "out"),
-            k=spec_for(lp.k, "out"),
-            v=spec_for(lp.v, "out"),
+            q=opt(lp.q, "out"),
+            k=opt(lp.k, "out"),
+            v=opt(lp.v, "out"),
             o=spec_for(lp.o, "in"),
-            gate=spec_for(lp.gate, "out"),
-            up=spec_for(lp.up, "out"),
+            gate=opt(lp.gate, "out"),
+            up=opt(lp.up, "out"),
             down=spec_for(lp.down, "in"),
+            qkv=opt(lp.qkv, "none"),
+            gateup=opt(lp.gateup, "none"),
         )
         for lp in params.layers
     )
