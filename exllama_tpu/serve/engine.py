@@ -221,15 +221,44 @@ def _install_slot(kv: KVCacheState, scratch: KVCacheState, slot,
 class ContinuousBatchingEngine:
     def __init__(self, model, tokenizer=None, max_slots: int = 8,
                  seed: int = 0, prefill_bucket: int = 64,
-                 attn_bucket: int = 256):
+                 attn_bucket: int = 256, mesh=None):
         self.model = model
         self.tokenizer = tokenizer
         self.max_slots = max_slots
         self.prefill_bucket = prefill_bucket
         self.attn_bucket = attn_bucket
         cfg = model.config
+        self.mesh = mesh if mesh is not None else getattr(model, "mesh", None)
         self.cache = ExLlamaCache(model, batch_size=max_slots)
         self.scratch = ExLlamaCache(model, batch_size=1)
+        if self.mesh is not None:
+            # multi-chip serving: slot cache shards batch over dp and
+            # kv-heads over tp; the B=1 admission scratch shards heads only
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from exllama_tpu.parallel.mesh import shard_cache
+
+            dp = dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)
+            ).get("dp", 1)
+            assert max_slots % dp == 0, (
+                f"max_slots ({max_slots}) must divide over dp ({dp})"
+            )
+            shard_cache(self.cache, self.mesh)
+            sh4 = NamedSharding(self.mesh, P(None, "tp", None, None))
+            sh3 = NamedSharding(self.mesh, P(None, "tp", None))
+
+            def put(t, s):
+                return None if t is None else tuple(
+                    jax.device_put(x, s) for x in t
+                )
+
+            self.scratch.state = KVCacheState(
+                k=put(self.scratch.state.k, sh4),
+                v=put(self.scratch.state.v, sh4),
+                k_scale=put(self.scratch.state.k_scale, sh3),
+                v_scale=put(self.scratch.state.v_scale, sh3),
+            )
         self.key = jax.random.PRNGKey(seed)
 
         s_max = cfg.max_seq_len
@@ -238,7 +267,16 @@ class ContinuousBatchingEngine:
         self.seq_lens = np.zeros(max_slots, np.int32)
         self.seq_bufs = jnp.zeros((max_slots, s_max), jnp.int32)
         self.slot_req: list[Optional[Request]] = [None] * max_slots
-        self.free = deque(range(max_slots))
+        if jax.process_count() > 1:
+            # cross-host continuous batching: every process runs the same
+            # jitted step over the globally sharded cache, but each host
+            # admits only into its own slot range (BASELINE config 5)
+            from exllama_tpu.parallel.multihost import local_batch_slice
+
+            sl = local_batch_slice(max_slots)
+            self.free = deque(range(sl.start, sl.stop))
+        else:
+            self.free = deque(range(max_slots))
         self.queue: deque[Request] = deque()
         self.admitting: deque[_Admission] = deque()
         # engine-wide rep-penalty window (static for compile stability)

@@ -137,3 +137,42 @@ def test_fusion_auto_disables_under_tp():
     assert all(
         lp.qkv is not None and lp.gateup is not None for lp in p_dp.layers
     )
+
+
+def test_engine_over_mesh_matches_unsharded():
+    """Continuous-batching engine on a dp×tp mesh (sharded slot cache,
+    chunked admission) must decode exactly like the unsharded engine."""
+    from exllama_tpu.ops.sampling import SamplerSettings
+    from exllama_tpu.serve import ContinuousBatchingEngine
+    from exllama_tpu.tokenizer import FakeTokenizer
+
+    cfg = cfg_for_mesh()
+    cfg.max_seq_len = 64
+    params = make_synthetic_params(cfg, 128, False, seed=21)
+    greedy = SamplerSettings(temperature=1.0, top_k=1, top_p=0.0,
+                             token_repetition_penalty_max=1.0)
+    prompts = [
+        (np.arange(10, dtype=np.int32) * (3 + i) + 1) % cfg.vocab_size
+        for i in range(4)
+    ]
+
+    def run(mesh):
+        p = params
+        model = ExLlama(cfg, params=p)
+        if mesh is not None:
+            model = ExLlama(cfg, params=shard_params(p, mesh), mesh=mesh)
+        eng = ContinuousBatchingEngine(
+            model, FakeTokenizer(), max_slots=4, prefill_bucket=8,
+            mesh=mesh,
+        )
+        reqs = [
+            eng.submit(ids, max_new_tokens=4, settings=greedy,
+                       stop_tokens=(-1,))
+            for ids in prompts
+        ]
+        eng.run()
+        return [r.new_tokens for r in reqs]
+
+    ref = run(None)
+    got = run(make_mesh(tp=2, dp=2))
+    assert got == ref
