@@ -21,6 +21,7 @@ Works against a real GPTQ checkpoint (-d) or a synthetic one (--synthetic
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -243,6 +244,14 @@ def main():
                              "(strict-parity validation; default bf16 — "
                              "see docs/PARITY.md)")
     args = parser.parse_args()
+    model_init.apply_platform(args)
+    if args.dataset is None and (args.perplexity or args.validate):
+        bundled = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "datasets", "wikitext2_val_sample.jsonl",
+        )
+        if os.path.exists(bundled):
+            args.dataset = bundled
 
     if args.synthetic:
         cfg, model, tokenizer = build_synthetic(args.synthetic, args)

@@ -52,8 +52,19 @@ def add_args(parser: argparse.ArgumentParser):
                         help="q4 matmul implementation")
     parser.add_argument("--attn_bucket", type=int, default=256,
                         help="Decode attention length bucket (0 = full cache)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (skip TPU init)")
     parser.add_argument("--max_input_len", type=int, default=2048,
                         help="Chunked-prefill max rows per chunk")
+
+
+def apply_platform(args):
+    """Honor --cpu BEFORE first device use (the TPU plugin would otherwise
+    initialize — or hang when the chip is unreachable)."""
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def get_model_files(args):
@@ -71,10 +82,14 @@ def get_model_files(args):
             if os.path.exists(p):
                 args.tokenizer = p
                 break
-    missing = [k for k in ("config", "model", "tokenizer")
+    missing = [k for k in ("config", "model")
                if getattr(args, k) is None]
     if missing:
         raise ValueError(f"missing arguments: {missing} (or use -d)")
+    # tokenizer-less directories (fabricated rehearsal checkpoints,
+    # utils/fabricate.py) fall back to the byte-level FakeTokenizer
+    if args.tokenizer is None and args.directory is None:
+        raise ValueError("missing arguments: ['tokenizer'] (or use -d)")
 
 
 def make_config(args) -> ExLlamaConfig:
@@ -127,13 +142,20 @@ def build(args):
     from exllama_tpu.parallel.mesh import make_mesh
     from exllama_tpu.tokenizer import ExLlamaTokenizer
 
+    apply_platform(args)
     get_model_files(args)
     config = make_config(args)
     mesh = None
     if args.tp * args.dp > 1:
         mesh = make_mesh(tp=args.tp, dp=args.dp)
     model = ExLlama(config, mesh=mesh)
-    tokenizer = ExLlamaTokenizer(args.tokenizer)
+    if args.tokenizer is None:
+        from exllama_tpu.tokenizer import FakeTokenizer
+
+        print(" !! no tokenizer file found; using byte-level FakeTokenizer")
+        tokenizer = FakeTokenizer()
+    else:
+        tokenizer = ExLlamaTokenizer(args.tokenizer)
     print(f" -- Groupsize (inferred): {config.groupsize}")
     print(f" -- Act-order (inferred): {config.act_order}")
     return config, model, tokenizer, mesh

@@ -141,3 +141,33 @@ def test_shard_util_roundtrip(tmp_path):
     assert sorted(back) == sorted(tensors)
     for k in tensors:
         np.testing.assert_array_equal(back[k], tensors[k])
+
+
+def test_fabricated_checkpoint_loads_and_decodes(tmp_path):
+    """utils/fabricate writes wire-format GPTQ shards + index; the loader
+    must scan/stream/repack them and the model must decode (the disk-path
+    rehearsal entry, VERDICT r1 missing #3)."""
+    from exllama_tpu.utils.fabricate import fabricate
+
+    out, total = fabricate(
+        str(tmp_path), model="tiny", groupsize=32, act_order=True,
+        shard_gb=0.01, seed=4, verbose=False,
+    )
+    assert total > 0
+    files = os.listdir(str(tmp_path))
+    assert "config.json" in files
+    assert "model.safetensors.index.json" in files
+    assert sum(f.endswith(".safetensors") for f in files) >= 2
+
+    config = ExLlamaConfig(os.path.join(str(tmp_path), "config.json"))
+    config.model_path = str(tmp_path)
+    config.max_seq_len = 64
+    config.tuning.matmul_impl = "xla"
+    model = ExLlama(config)
+    assert config.groupsize == 32 and config.act_order
+    cache = ExLlamaCache(model)
+    ids = (np.arange(8, dtype=np.int32)[None, :] * 3 + 1) % 100
+    lg = model.forward(ids, cache)
+    assert np.all(np.isfinite(np.asarray(lg)))
+    lg2 = model.forward(np.asarray([[5]], np.int32), cache)
+    assert np.all(np.isfinite(np.asarray(lg2)))
