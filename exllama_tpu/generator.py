@@ -67,6 +67,96 @@ def _sample_step(
     return tokens, probs, seq_buf
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_out", "sustain", "decay"),
+)
+def _beam_init_filter(
+    logits,        # [1, 1, V] f32
+    hist,          # [1, S_max] int32
+    hist_len,      # scalar int32
+    bias,          # [V] f32 (BOS ban / disallow)
+    key,
+    temperature, top_k, top_p, min_p, typical, penalty_max,
+    *,
+    n_out: int,
+    sustain: int,
+    decay: int,
+):
+    """Initial beam expansion on device: filtered distribution → gumbel
+    top-k (multinomial without replacement). Returns (tokens [n_out],
+    lps [n_out], valid [n_out])."""
+    from exllama_tpu.ops.sampling import filter_probs
+
+    lg = logits[:, -1, :].astype(jnp.float32) + bias[None, :]
+    lg = apply_rep_penalty(lg, hist, hist_len, penalty_max, sustain, decay)
+    probs = filter_probs(lg, temperature, top_k, top_p, min_p, typical)[0]
+    g = jax.random.gumbel(key, probs.shape)
+    scores = jnp.where(probs > 0, jnp.log(probs + 1e-30) + g, -jnp.inf)
+    _, toks = jax.lax.top_k(scores, n_out)
+    p = probs[toks]
+    return toks.astype(jnp.int32), jnp.log(p + 1e-30), p > 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
+                     "matmul_impl", "n_out", "sustain", "decay"),
+    donate_argnames=("kv",),
+)
+def _beam_step(
+    params,
+    kv,            # beam-cache KVCacheState, [n, ...] rows
+    toks,          # [n, 1] int32 last beam tokens
+    past,          # scalar int32
+    lps,           # [n] f32 cumulative log-probs
+    hist,          # [n, S_max] int32 committed + lookahead history
+    hist_len,      # scalar int32
+    bias,          # [V] f32
+    temperature, top_k, top_p, min_p, typical, penalty_max,
+    lora,
+    *,
+    attend_len: int,
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    eps: float,
+    matmul_impl: str,
+    n_out: int,
+    sustain: int,
+    decay: int,
+):
+    """One beam-search lookahead step entirely on device: batched forward
+    over all beams → rep penalty → sampler filtering → joint top-k over
+    [n·V] candidates → gather of beam-cache rows by parent. The host
+    fetches only (parents, tokens, lps) — 3·n_out scalars — instead of
+    the [n, V] probability matrices of a host-side selection loop
+    (reference forwards each beam separately and swaps per-beam caches,
+    generator.py:386-691)."""
+    from exllama_tpu.cache import _map_state
+    from exllama_tpu.models.llama import forward_chunk
+    from exllama_tpu.ops.sampling import filter_probs
+
+    logits, kv = forward_chunk(
+        params, kv, toks, past, None, lora,
+        attend_len=attend_len, last_token_only=True, preprocess_only=False,
+        heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
+        matmul_impl=matmul_impl,
+    )
+    lg = logits[:, -1, :].astype(jnp.float32) + bias[None, :]
+    lg = apply_rep_penalty(lg, hist, hist_len, penalty_max, sustain, decay)
+    probs = filter_probs(lg, temperature, top_k, top_p, min_p, typical)
+    v = probs.shape[1]
+    cand = jnp.where(
+        probs > 0, lps[:, None] + jnp.log(probs + 1e-30), -jnp.inf
+    )
+    scores, top = jax.lax.top_k(cand.reshape(-1), n_out)
+    parents = (top // v).astype(jnp.int32)
+    tokens = (top % v).astype(jnp.int32)
+    kv = _map_state(lambda x: jnp.take(x, parents, axis=0), kv)
+    return kv, parents, tokens, scores
+
+
 class ExLlamaGenerator:
     """API mirror of the reference generator (generator.py:7-715)."""
 
@@ -414,18 +504,19 @@ class ExLlamaGenerator:
             return
         self.in_beam_search = True
 
-    def _beam_filter(self, logits, n_rows):
-        """Rep-penalized, filtered per-row distributions [n, V]."""
-        from exllama_tpu.ops.sampling import apply_rep_penalty, filter_probs
-
-        s = self.settings
-        lg = np.array(logits[:, -1, :], np.float32)  # writable host copy
-        # same hard bans as the single-token path (_sample_step): BOS and
-        # explicitly disallowed tokens (reference generator.py:352, 101-102)
-        lg[:, self.tokenizer.bos_token_id] -= 10000.0
+    def _beam_bias(self):
+        """[V] additive bias for beam scoring: BOS ban + disallowed tokens
+        (same hard bans as the single-token path, reference
+        generator.py:352, 101-102)."""
+        bias = np.zeros((self.model.config.vocab_size,), np.float32)
+        bias[self.tokenizer.bos_token_id] -= 10000.0
         if self.disallowed_tokens:
-            lg[:, np.asarray(self.disallowed_tokens)] = -np.inf
-        # history per beam row: committed sequence + beam lookahead
+            bias[np.asarray(self.disallowed_tokens)] = -np.inf
+        return jnp.asarray(bias)
+
+    def _beam_hist(self, n_rows):
+        """Per-beam token history (committed + lookahead) for the
+        repetition penalty; [n, S_max] int32 + scalar length."""
         hist = np.zeros((n_rows, self.cache.max_seq_len), np.int32)
         base = self.sequence[0]
         for i in range(n_rows):
@@ -439,18 +530,7 @@ class ExLlamaGenerator:
             + (0 if self._beam_seqs is None else self._beam_seqs.shape[1]),
             self.cache.max_seq_len,
         )
-        lg = apply_rep_penalty(
-            jnp.asarray(np.broadcast_to(lg, (n_rows, lg.shape[-1]))),
-            jnp.asarray(hist),
-            jnp.int32(hist_len),
-            jnp.float32(s.token_repetition_penalty_max),
-            s.token_repetition_penalty_sustain,
-            s.token_repetition_penalty_decay,
-        )
-        return np.asarray(
-            filter_probs(lg, s.temperature, s.top_k, s.top_p, s.min_p,
-                         s.typical)
-        )
+        return hist, hist_len
 
     def beam_search(self):
         s = self.settings
@@ -479,16 +559,27 @@ class ExLlamaGenerator:
                 )
                 self._beam_prefix = self.sequence.shape[1]
                 self._beam_seqs = None
-                probs = self._beam_filter(logits, 1)[0]
-                # multinomial without replacement = gumbel top-k
-                g = np.asarray(
-                    jax.random.gumbel(self._next_key(), (probs.shape[0],))
+                # device-side: filter + gumbel top-k (multinomial without
+                # replacement); fetch only n_beams (token, lp, valid) rows
+                hist, hist_len = self._beam_hist(1)
+                toks_d, lps_d, valid_d = _beam_init_filter(
+                    jnp.asarray(logits, jnp.float32),
+                    jnp.asarray(hist), jnp.int32(hist_len),
+                    self._beam_bias(), self._next_key(),
+                    jnp.float32(s.temperature), jnp.int32(s.top_k),
+                    jnp.float32(s.top_p), jnp.float32(s.min_p),
+                    jnp.float32(s.typical),
+                    jnp.float32(s.token_repetition_penalty_max),
+                    n_out=n_beams,
+                    sustain=s.token_repetition_penalty_sustain,
+                    decay=s.token_repetition_penalty_decay,
                 )
-                scores = np.where(probs > 0, np.log(probs + 1e-30) + g, -np.inf)
-                k = min(n_beams, int((probs > 0).sum()))
-                toks = np.argsort(-scores)[:k].astype(np.int32)
+                toks = np.asarray(toks_d)
+                lps = np.asarray(lps_d)
+                k = max(1, int(np.asarray(valid_d).sum()))
+                toks = toks[:k]
                 self._beam_seqs = toks[:, None]
-                self._beam_lps = np.log(probs[toks] + 1e-30)
+                self._beam_lps = lps[:k]
 
                 # Beam cache: broadcast the main cache prefix to all rows.
                 if self._beam_cache is None or self._beam_cache.shape[1] != k:
@@ -511,32 +602,51 @@ class ExLlamaGenerator:
                 self.beams = True  # sentinel: beams active
             else:
                 n = self._beam_seqs.shape[0]
-                logits = self.model.forward(
-                    self._beam_seqs[:, -1:], self._beam_cache, lora=self.lora
+                cfg = self.model.config
+                past = self._beam_cache.current_seq_len
+                hist, hist_len = self._beam_hist(n)
+                new_state, parents_d, tokens_d, scores_d = _beam_step(
+                    self.model.params,
+                    self._beam_cache.state,
+                    jnp.asarray(self._beam_seqs[:, -1:]),
+                    jnp.int32(past),
+                    jnp.asarray(self._beam_lps, jnp.float32),
+                    jnp.asarray(hist), jnp.int32(hist_len),
+                    self._beam_bias(),
+                    jnp.float32(s.temperature), jnp.int32(s.top_k),
+                    jnp.float32(s.top_p), jnp.float32(s.min_p),
+                    jnp.float32(s.typical),
+                    jnp.float32(s.token_repetition_penalty_max),
+                    self.lora.stacked if self.lora is not None else None,
+                    attend_len=self.model._attend_len(past + 1),
+                    heads=cfg.num_attention_heads,
+                    kv_heads=cfg.num_key_value_heads,
+                    head_dim=cfg.head_dim,
+                    eps=cfg.rms_norm_eps,
+                    matmul_impl=self.model._matmul_impl(),
+                    n_out=n_beams,
+                    sustain=s.token_repetition_penalty_sustain,
+                    decay=s.token_repetition_penalty_decay,
                 )
-                probs = self._beam_filter(logits, n)       # [n, V]
-                cand = np.where(
-                    probs > 0,
-                    self._beam_lps[:, None] + np.log(probs + 1e-30),
-                    -np.inf,
-                )
-                flat = cand.reshape(-1)
-                k = min(n_beams, int(np.isfinite(flat).sum()))
-                top = np.argpartition(-flat, k - 1)[:k]
-                top = top[np.argsort(-flat[top])]
-                parents = (top // probs.shape[1]).astype(np.int32)
-                tokens = (top % probs.shape[1]).astype(np.int32)
-
-                # Gather cache rows by parent beam (device op).
-                st = self._beam_cache.state
-                idx = jnp.asarray(parents)
-                self._beam_cache.state = _map_state(
-                    lambda x: jnp.take(x, idx, axis=0), st
-                )
+                self._beam_cache.state = new_state
+                self._beam_cache.current_seq_len = past + 1
+                # host sync: 3·n_beams scalars, not [n, V] probabilities
+                parents = np.asarray(parents_d)
+                tokens = np.asarray(tokens_d)
+                scores = np.asarray(scores_d)
+                k = min(n_beams, max(1, int(np.isfinite(scores).sum())))
+                if k < n_beams:
+                    parents, tokens, scores = (
+                        parents[:k], tokens[:k], scores[:k]
+                    )
+                    st = self._beam_cache.state
+                    self._beam_cache.state = _map_state(
+                        lambda x: x[:k], st
+                    )
                 self._beam_seqs = np.concatenate(
                     [self._beam_seqs[parents], tokens[:, None]], axis=1
                 )
-                self._beam_lps = flat[top]
+                self._beam_lps = scores
 
         # Lookahead full: commit the first token of the best beam.
         best = int(np.argmax(self._beam_lps))
