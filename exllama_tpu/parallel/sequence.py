@@ -97,14 +97,24 @@ def sp_attend(
     v_shard: jax.Array,
     past_len: jax.Array,   # scalar int32 (or [B])
     axis: str = "sp",
+    k_scale: Optional[jax.Array] = None,   # [B, Hkv, S_loc] f32 (int8 KV)
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode/short-T attention over sequence-sharded KV (inside shard_map).
 
     Combines shards with the flash-style LSE reduction: one pmax + two
-    psums over ``axis`` per step.
+    psums over ``axis`` per step. int8 caches pass per-row scale strips
+    and dequantize on this shard's rows only.
     """
     b, t, h, d = q.shape
     s_loc = k_shard.shape[2]
+    if k_scale is not None:
+        k_shard = (
+            k_shard.astype(jnp.float32) * k_scale[..., None]
+        ).astype(q.dtype)
+        v_shard = (
+            v_shard.astype(jnp.float32) * v_scale[..., None]
+        ).astype(q.dtype)
     idx = jax.lax.axis_index(axis)
     offset = idx * s_loc
 
@@ -134,17 +144,32 @@ def sp_update_kv_cache(
     new_v: jax.Array,
     past_len: jax.Array,   # scalar int32
     axis: str = "sp",
+    k_scale: Optional[jax.Array] = None,   # [B, Hkv, S_loc] f32 (int8 KV)
+    v_scale: Optional[jax.Array] = None,
 ):
     """Owner-masked cache write (inside shard_map): position past_len+i goes
-    to shard (past_len+i) // S_loc; other shards rewrite their own rows."""
+    to shard (past_len+i) // S_loc; other shards rewrite their own rows.
+    int8 caches quantize the new rows per head and write scale strips the
+    same owner-masked way. Returns (k, v) or (k, v, k_scale, v_scale)."""
     b, t, hkv, d = new_k.shape
     s_loc = k_shard.shape[2]
     idx = jax.lax.axis_index(axis)
-    nk = jnp.swapaxes(new_k, 1, 2)   # [B, Hkv, T, D]
-    nv = jnp.swapaxes(new_v, 1, 2)
+    quantized = k_scale is not None
+    if quantized:
+        from exllama_tpu.ops.attention import quantize_kv_rows
+
+        qk, sk = quantize_kv_rows(new_k)      # [B,T,Hkv,D], [B,T,Hkv]
+        qv, sv = quantize_kv_rows(new_v)
+        nk = jnp.swapaxes(qk, 1, 2)           # [B, Hkv, T, D]
+        nv = jnp.swapaxes(qv, 1, 2)
+        nks = jnp.swapaxes(sk, 1, 2)          # [B, Hkv, T]
+        nvs = jnp.swapaxes(sv, 1, 2)
+    else:
+        nk = jnp.swapaxes(new_k, 1, 2)        # [B, Hkv, T, D]
+        nv = jnp.swapaxes(new_v, 1, 2)
 
     def write_one(i, carry):
-        kc, vc = carry
+        kc, vc, ksc, vsc = carry
         p = past_len.astype(jnp.int32) + i
         own = (p // s_loc) == idx
         loc = p % s_loc
@@ -162,9 +187,28 @@ def sp_update_kv_cache(
         vc = jax.lax.dynamic_update_slice(
             vc, jnp.where(own, vrow, vcur), (0, 0, loc, 0)
         )
-        return kc, vc
+        if quantized:
+            ksrow = jax.lax.dynamic_slice(nks, (0, 0, i), (b, hkv, 1))
+            vsrow = jax.lax.dynamic_slice(nvs, (0, 0, i), (b, hkv, 1))
+            kscur = jax.lax.dynamic_slice(ksc, (0, 0, loc), (b, hkv, 1))
+            vscur = jax.lax.dynamic_slice(vsc, (0, 0, loc), (b, hkv, 1))
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, jnp.where(own, ksrow, kscur), (0, 0, loc)
+            )
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, jnp.where(own, vsrow, vscur), (0, 0, loc)
+            )
+        return kc, vc, ksc, vsc
 
-    return jax.lax.fori_loop(0, t, write_one, (k_shard, v_shard))
+    z = jnp.zeros((), jnp.float32)
+    kc, vc, ksc, vsc = jax.lax.fori_loop(
+        0, t, write_one,
+        (k_shard, v_shard,
+         k_scale if quantized else z, v_scale if quantized else z),
+    )
+    if quantized:
+        return kc, vc, ksc, vsc
+    return kc, vc
 
 
 def ring_attend_prefill(
@@ -228,16 +272,22 @@ def sp_kv_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_cache_sp(cache, mesh: Mesh):
-    """Place an ExLlamaCache's KV over the sp axis (sequence-sharded)."""
+    """Place an ExLlamaCache's KV over the sp axis (sequence-sharded).
+    int8 caches shard their [B, Hkv, S] scale strips the same way."""
     from exllama_tpu.cache import KVCacheState
 
     sh = sp_kv_sharding(mesh)
-    assert cache.state.k_scale is None, (
-        "sp mode currently uses bf16 KV (int8 scale strips not wired)"
-    )
+    sh3 = NamedSharding(mesh, P(None, None, "sp"))
+    quantized = cache.state.k_scale is not None
     cache.state = KVCacheState(
         k=tuple(jax.device_put(x, sh) for x in cache.state.k),
         v=tuple(jax.device_put(x, sh) for x in cache.state.v),
+        k_scale=tuple(
+            jax.device_put(x, sh3) for x in cache.state.k_scale
+        ) if quantized else None,
+        v_scale=tuple(
+            jax.device_put(x, sh3) for x in cache.state.v_scale
+        ) if quantized else None,
     )
     return cache
 
@@ -277,11 +327,12 @@ def make_sp_decode_fn(model, mesh: Mesh):
 
     def step(params, kv, tok, past):
         b, t = tok.shape
+        quantized = kv.k_scale is not None
         h = jnp.take(params.embed, tok, axis=0)
         sin_t, cos_t = slice_tables(
             params.rope_sin, params.rope_cos, past, t
         )
-        k_new, v_new = [], []
+        k_new, v_new, ks_new, vs_new = [], [], [], []
         for li, lp in enumerate(params.layers):
             a = rms_norm(h, lp.input_norm, eps)
             if lp.qkv is not None:
@@ -298,10 +349,19 @@ def make_sp_decode_fn(model, mesh: Mesh):
             q = apply_rope_sliced(q.reshape(b, t, heads, d), sin_t, cos_t)
             k = apply_rope_sliced(k.reshape(b, t, kv_heads, d), sin_t, cos_t)
             v = v.reshape(b, t, kv_heads, d)
-            kc, vc = sp_update_kv_cache(
-                kv.k[li], kv.v[li], k, v, past
-            )
-            attn = sp_attend(q, kc, vc, past)
+            if quantized:
+                kc, vc, ksc, vsc = sp_update_kv_cache(
+                    kv.k[li], kv.v[li], k, v, past,
+                    k_scale=kv.k_scale[li], v_scale=kv.v_scale[li],
+                )
+                attn = sp_attend(q, kc, vc, past, k_scale=ksc, v_scale=vsc)
+                ks_new.append(ksc)
+                vs_new.append(vsc)
+            else:
+                kc, vc = sp_update_kv_cache(
+                    kv.k[li], kv.v[li], k, v, past
+                )
+                attn = sp_attend(q, kc, vc, past)
             k_new.append(kc)
             v_new.append(vc)
             h = h + q4_matmul(
@@ -324,15 +384,23 @@ def make_sp_decode_fn(model, mesh: Mesh):
         logits = jnp.dot(
             h2, params.lm_head, preferred_element_type=jnp.float32
         )
-        return logits, KVCacheState(tuple(k_new), tuple(v_new))
+        return logits, KVCacheState(
+            tuple(k_new), tuple(v_new),
+            k_scale=tuple(ks_new) if quantized else None,
+            v_scale=tuple(vs_new) if quantized else None,
+        )
 
     kv_spec = P(None, None, "sp", None)
+    sc_spec = P(None, None, "sp")
     rep = lambda tree: jax.tree.map(lambda _: P(), tree)
 
     def kv_specs(kv):
+        quantized = kv.k_scale is not None
         return KVCacheState(
             k=tuple(kv_spec for _ in kv.k),
             v=tuple(kv_spec for _ in kv.v),
+            k_scale=tuple(sc_spec for _ in kv.k_scale) if quantized else None,
+            v_scale=tuple(sc_spec for _ in kv.v_scale) if quantized else None,
         )
 
     @functools.partial(jax.jit, donate_argnames=("kv",))

@@ -126,6 +126,70 @@ def test_sp_decode_loop_end_to_end():
         )
 
 
+@pytest.mark.parametrize("past", [0, 17, 63])
+def test_sp_attend_int8_matches_single_device(past):
+    """int8 KV × sp: sharded dequant-attend == single-device int8 attend."""
+    from exllama_tpu.ops.attention import quantize_kv_rows
+
+    mesh, q, kc, vc = _mk(5)
+    qk, sk = quantize_kv_rows(jnp.swapaxes(kc, 1, 2))   # [B,S,HKV,*]
+    qv, sv = quantize_kv_rows(jnp.swapaxes(vc, 1, 2))
+    kc_q = jnp.swapaxes(qk, 1, 2)                       # [B,HKV,S,D] int8
+    vc_q = jnp.swapaxes(qv, 1, 2)
+    ks = jnp.swapaxes(sk, 1, 2)                         # [B,HKV,S] f32
+    vs = jnp.swapaxes(sv, 1, 2)
+
+    ref = attend_xla(q, kc_q, vc_q, jnp.int32(past), S,
+                     k_scale=ks, v_scale=vs)
+
+    spec_kv = P(None, None, "sp", None)
+    spec_sc = P(None, None, "sp")
+    fn = shard_map(
+        lambda q, kc, vc, p, ks, vs: sp_attend(
+            q, kc, vc, p, axis="sp", k_scale=ks, v_scale=vs
+        ),
+        mesh=mesh,
+        in_specs=(P(None), spec_kv, spec_kv, P(), spec_sc, spec_sc),
+        out_specs=P(None),
+    )
+    got = fn(q, kc_q, vc_q, jnp.int32(past), ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+@pytest.mark.parametrize("past,t", [(0, 1), (13, 1), (30, 4)])
+def test_sp_cache_write_int8_matches_dense(past, t):
+    """int8 KV × sp: owner-masked quantized write == dense quantized write
+    (values AND scale strips bit-identical)."""
+    rng = np.random.default_rng(6)
+    mesh = make_sp_mesh(sp=8)
+    kc = jnp.zeros((B, HKV, S, D), jnp.int8)
+    vc = jnp.zeros((B, HKV, S, D), jnp.int8)
+    ks = jnp.zeros((B, HKV, S), jnp.float32)
+    vs = jnp.zeros((B, HKV, S), jnp.float32)
+    nk = jnp.asarray(rng.standard_normal((B, t, HKV, D)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((B, t, HKV, D)), jnp.float32)
+
+    ref = update_kv_cache(kc, vc, nk, nv, jnp.int32(past),
+                          k_scale=ks, v_scale=vs)
+
+    spec_kv = P(None, None, "sp", None)
+    spec_sc = P(None, None, "sp")
+    fn = shard_map(
+        lambda kc, vc, nk, nv, p, ks, vs: sp_update_kv_cache(
+            kc, vc, nk, nv, p, axis="sp", k_scale=ks, v_scale=vs
+        ),
+        mesh=mesh,
+        in_specs=(spec_kv, spec_kv, P(None), P(None), P(),
+                  spec_sc, spec_sc),
+        out_specs=(spec_kv, spec_kv, spec_sc, spec_sc),
+    )
+    got = fn(kc, vc, nk, nv, jnp.int32(past), ks, vs)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 @pytest.mark.parametrize("t_total", [64, 128])
 def test_ring_prefill_matches_causal(t_total):
     rng = np.random.default_rng(4)
@@ -158,9 +222,11 @@ def test_sp_cache_sharding_spec():
     assert sh.spec == P("dp", "tp", "sp", None)
 
 
-def test_sp_model_decode_matches_forward_chunk():
+@pytest.mark.parametrize("kv_dtype", ["bf16", "int8"])
+def test_sp_model_decode_matches_forward_chunk(kv_dtype):
     """Full-model sequence-parallel decode (make_sp_decode_fn) must match
-    the standard forward on an 8-way S-sharded cache."""
+    the standard forward on an 8-way S-sharded cache — for both bf16 and
+    int8 (quantized, scale strips S-sharded alongside) caches."""
     from exllama_tpu.cache import ExLlamaCache
     from exllama_tpu.config import ExLlamaConfig
     from exllama_tpu.formats.loader import make_synthetic_params
@@ -183,6 +249,8 @@ def test_sp_model_decode_matches_forward_chunk():
     cfg.max_attention_size = 64 * 64
     cfg.tuning.matmul_impl = "xla"
     cfg.tuning.attn_len_bucket = 0
+    if kv_dtype == "int8":
+        cfg.tuning.kv_cache_dtype = "int8"
 
     params = make_synthetic_params(cfg, 32, False, seed=9)
     model = ExLlama(cfg, params=params)
