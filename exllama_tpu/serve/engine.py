@@ -23,7 +23,12 @@ layer BASELINE.json asks for:
     alt_generator's holding logic, per slot): partial stop-string matches
     are held back and only released when they can no longer complete;
   * finished requests (EOS / stop-string / max_new_tokens) free their slot
-    immediately.
+    immediately;
+  * speculative mode (``spec_proposer=NgramProposer()``): each step drafts
+    up to ``spec_lookahead`` tokens per slot on the host (prompt-lookup),
+    verifies them all in ONE batched K+1-token forward, and commits the
+    accepted prefix device-side — multiple tokens per request per step at
+    the HBM cost of roughly one.
 
 Decode-step compilation is amortized: one compile per (attend-length
 bucket, lora-on/off) regardless of which slots are active.
@@ -189,6 +194,103 @@ def _engine_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
+                     "matmul_impl", "sustain", "decay"),
+    donate_argnames=("kv",),
+)
+def _engine_spec_step(
+    params,
+    kv: KVCacheState,
+    tokens,        # [B, K+1] int32: pending token + K padded draft tokens
+    draft,         # [B, K] int32 (padding arbitrary beyond k_valid)
+    k_valid,       # [B] int32: number of real draft tokens per slot
+    pos,           # [B] int32 per-slot cursors
+    seq_bufs,      # [B, S_max]
+    seq_lens,      # [B]
+    key,
+    active,        # [B] bool
+    temperature, top_k, top_p, min_p, typical,   # [B] sampler vectors
+    penalty_max,   # [B] f32
+    eos_ban,       # [B, V]
+    lora,
+    *,
+    attend_len: int,
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    eps: float,
+    matmul_impl: str,
+    sustain: int,
+    decay: int,
+):
+    """Speculative (draft-and-verify) engine step: one forward over K+1
+    tokens per slot, target-distribution samples at every position,
+    device-side prefix acceptance. Emitted tokens are always target
+    samples (same guarantee as speculative.SpeculativeGenerator) — the
+    one approximation is that the repetition-penalty mask is computed
+    from the committed history once per step, not per drafted position
+    (exact whenever penalty_max == 1.0).
+
+    Returns (out_tokens [B, K+1], counts [B], kv, seq_bufs, pos, seq_lens):
+    slot b commits out_tokens[b, :counts[b]].
+    """
+    b, k1 = tokens.shape
+    logits, kv = forward_chunk(
+        params, kv, tokens, pos, None, lora,
+        attend_len=attend_len, last_token_only=False, preprocess_only=False,
+        heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
+        matmul_impl=matmul_impl,
+    )
+    lg = logits.astype(jnp.float32)                     # [B, K+1, V]
+
+    def row_mask(buf, slen, pen):
+        return rep_penalty_mask(
+            buf[None, :], slen, lg.shape[-1], pen, sustain, decay
+        )[0]
+
+    vmask = jax.vmap(row_mask)(seq_bufs, seq_lens, penalty_max)[:, None, :]
+    lg = jnp.where(lg > 0, lg / vmask, lg * vmask)
+    lg = lg + eos_ban[:, None, :]
+
+    keys = jax.random.split(key, b * k1).reshape(b, k1, 2)
+    sp = jax.vmap(jax.vmap(_filter_row))(
+        lg,
+        *(jnp.broadcast_to(v[:, None], (b, k1)) for v in
+          (temperature, top_k, top_p, min_p, typical)),
+    )
+    samples = jax.vmap(jax.vmap(
+        lambda p, k: jax.random.categorical(k, jnp.log(p + 1e-30))
+    ))(sp, keys).astype(jnp.int32)                      # [B, K+1]
+
+    # prefix acceptance: position i survives while the target's sample
+    # equals the draft; m = length of the surviving prefix
+    i_k = jnp.arange(k1 - 1, dtype=jnp.int32)[None, :]
+    match = (samples[:, : k1 - 1] == draft) & (i_k < k_valid[:, None])
+    m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
+    corr = jnp.take_along_axis(samples, m[:, None], axis=1)[:, 0]
+    i_all = jnp.arange(k1, dtype=jnp.int32)[None, :]
+    draft_pad = jnp.concatenate(
+        [draft, jnp.zeros((b, 1), jnp.int32)], axis=1
+    )
+    out_tokens = jnp.where(i_all < m[:, None], draft_pad, corr[:, None])
+    counts = (m + 1) * active.astype(jnp.int32)
+
+    # masked history append: K+1 candidate rows, only counts of them real;
+    # rows past counts land beyond the committed length and are overwritten
+    # by the next step's write at the advanced cursor
+    def write_row(buf, toks, l, cnt):
+        cur = jax.lax.dynamic_slice(buf, (l,), (k1,))
+        upd = jnp.where(jnp.arange(k1) < cnt, toks, cur)
+        return jax.lax.dynamic_update_slice(buf, upd, (l,))
+
+    seq_bufs = jax.vmap(write_row)(seq_bufs, out_tokens, seq_lens, counts)
+    pos = pos + counts
+    seq_lens = seq_lens + counts
+    return out_tokens, counts, kv, seq_bufs, pos, seq_lens
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("copy_len", "slot_s_max"),
     donate_argnames=("kv",),
 )
@@ -221,12 +323,20 @@ def _install_slot(kv: KVCacheState, scratch: KVCacheState, slot,
 class ContinuousBatchingEngine:
     def __init__(self, model, tokenizer=None, max_slots: int = 8,
                  seed: int = 0, prefill_bucket: int = 64,
-                 attn_bucket: int = 256, mesh=None):
+                 attn_bucket: int = 256, mesh=None,
+                 spec_proposer=None, spec_lookahead: int = 4):
         self.model = model
         self.tokenizer = tokenizer
         self.max_slots = max_slots
         self.prefill_bucket = prefill_bucket
         self.attn_bucket = attn_bucket
+        # speculative mode: a host-side per-slot proposer with a
+        # propose(seq, k) -> np.ndarray method and no cross-call state
+        # (speculative.NgramProposer). Draft-model proposers keep a KV
+        # cache per stream and are not slotted yet.
+        self.spec_proposer = spec_proposer
+        self.spec_lookahead = spec_lookahead
+        self.spec_stats = {"drafted": 0, "accepted": 0, "steps": 0}
         cfg = model.config
         self.mesh = mesh if mesh is not None else getattr(model, "mesh", None)
         self.cache = ExLlamaCache(model, batch_size=max_slots)
@@ -486,10 +596,22 @@ class ContinuousBatchingEngine:
                 req.on_text(req, release)
         return match >= 0
 
+    def _sampler_vec(self, attr, default, dtype):
+        return np.asarray(
+            [
+                getattr(r.settings, attr) if r else default
+                for r in self.slot_req
+            ],
+            dtype,
+        )
+
     def step(self) -> list[tuple[Request, int, bool]]:
         """Admit pending requests (≤1 prefill chunk), run one batched
         decode step, retire finished ones. Returns
-        [(request, token, finished), ...]."""
+        [(request, token, finished), ...]. With ``spec_proposer`` set, a
+        step verifies up to ``spec_lookahead`` drafted tokens per slot in
+        the same batched forward and may return several tokens per
+        request."""
         self._admit()
         if self.num_active == 0:
             return []
@@ -497,6 +619,13 @@ class ContinuousBatchingEngine:
 
         active = np.array([r is not None for r in self.slot_req])
         max_pos = int(self.pos[active].max()) + 1 if active.any() else 1
+        if (
+            self.spec_proposer is not None
+            # the masked K+1 history/cache writes need headroom; fall back
+            # to plain steps near the end of the window
+            and max_pos + self.spec_lookahead + 1 <= cfg.max_seq_len - 1
+        ):
+            return self._step_spec(active, max_pos)
         attend_len = min(
             cfg.max_seq_len,
             -(-max_pos // self.attn_bucket) * self.attn_bucket,
@@ -504,15 +633,7 @@ class ContinuousBatchingEngine:
         if self._lora_dirty:
             self._rebuild_batched_lora()
 
-        # per-slot sampler vectors
-        def vec(attr, default, dtype):
-            return np.asarray(
-                [
-                    getattr(r.settings, attr) if r else default
-                    for r in self.slot_req
-                ],
-                dtype,
-            )
+        vec = self._sampler_vec
 
         self.key, sub = jax.random.split(self.key)
         tokens, new_kv, self.seq_bufs, pos_new, lens_new = _engine_step(
@@ -569,6 +690,105 @@ class ContinuousBatchingEngine:
                 self.slot_req[slot] = None
                 self.free.append(slot)
             results.append((req, tok, finished))
+        return results
+
+    def _step_spec(self, active, max_pos) -> list[tuple[Request, int, bool]]:
+        """Speculative step: host-side drafts per slot, one batched K+1
+        verify forward, commit the accepted prefix (+ correction/bonus)."""
+        cfg = self.model.config
+        kd = self.spec_lookahead
+        k1 = kd + 1
+        draft = np.zeros((self.max_slots, kd), np.int32)
+        k_valid = np.zeros(self.max_slots, np.int32)
+        tokens = np.zeros((self.max_slots, k1), np.int32)
+        tokens[:, 0] = self.pending
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            seq = np.concatenate(
+                [req.prompt_ids, np.asarray(req.new_tokens, np.int32)]
+            )
+            d = self.spec_proposer.propose(seq, kd)
+            draft[slot, : len(d)] = d
+            k_valid[slot] = len(d)
+            tokens[slot, 1 : 1 + len(d)] = d
+        attend_len = min(
+            cfg.max_seq_len,
+            -(-(max_pos + k1) // self.attn_bucket) * self.attn_bucket,
+        )
+        if self._lora_dirty:
+            self._rebuild_batched_lora()
+        vec = self._sampler_vec
+
+        self.key, sub = jax.random.split(self.key)
+        out_tokens, counts, new_kv, self.seq_bufs, pos_new, lens_new = (
+            _engine_spec_step(
+                self.model.params,
+                self.cache.state,
+                jnp.asarray(tokens),
+                jnp.asarray(draft),
+                jnp.asarray(k_valid),
+                jnp.asarray(self.pos),
+                self.seq_bufs,
+                jnp.asarray(self.seq_lens),
+                sub,
+                jnp.asarray(active),
+                jnp.asarray(vec("temperature", 1.0, np.float32)),
+                jnp.asarray(vec("top_k", 1, np.int32)),
+                jnp.asarray(vec("top_p", 0.0, np.float32)),
+                jnp.asarray(vec("min_p", 0.0, np.float32)),
+                jnp.asarray(vec("typical", 0.0, np.float32)),
+                jnp.asarray(
+                    vec("token_repetition_penalty_max", 1.0, np.float32)
+                ),
+                jnp.asarray(self._bias),
+                self._batched_lora,
+                attend_len=attend_len,
+                heads=cfg.num_attention_heads,
+                kv_heads=cfg.num_key_value_heads,
+                head_dim=cfg.head_dim,
+                eps=cfg.rms_norm_eps,
+                matmul_impl=self.model._matmul_impl(),
+                sustain=self.rep_sustain,
+                decay=self.rep_decay,
+            )
+        )
+        self.cache.state = new_kv
+        out_tokens = np.asarray(out_tokens)
+        counts = np.asarray(counts)
+        self.pos = np.array(pos_new)
+        self.seq_lens = np.array(lens_new)
+        self.spec_stats["steps"] += 1
+
+        results = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            c = int(counts[slot])
+            self.spec_stats["drafted"] += int(k_valid[slot])
+            self.spec_stats["accepted"] += c - 1
+            finished = False
+            for j in range(c):
+                tok = int(out_tokens[slot, j])
+                req.new_tokens.append(tok)
+                self.pending[slot] = tok
+                finished = (
+                    tok in req.stop_tokens
+                    or len(req.new_tokens) >= req.max_new_tokens
+                    or int(self.pos[slot]) >= cfg.max_seq_len - 1
+                )
+                if req.on_token is not None:
+                    req.on_token(req, tok)
+                if req.stop_strings or req.on_text is not None:
+                    if self._stream_text(req, finished):
+                        finished = True
+                results.append((req, tok, finished))
+                if finished:
+                    break
+            if finished:
+                req.state = DONE
+                self.slot_req[slot] = None
+                self.free.append(slot)
         return results
 
     def run(self) -> list[Request]:

@@ -246,3 +246,80 @@ def test_engine_per_request_lora(model):
     assert r0.new_tokens == base
     assert r1.new_tokens == w1
     assert r2.new_tokens == w2
+
+
+# ------------------------------------------------------------- speculative
+
+def test_spec_mode_matches_plain_engine(model):
+    """Greedy speculative mode must emit EXACTLY the plain engine's tokens:
+    exact-match acceptance + target correction preserves the argmax chain."""
+    from exllama_tpu.speculative import NgramProposer
+
+    tok = FakeTokenizer()
+    idss = [tok.encode(f"spec prompt {i} spec prompt {i}")[0]
+            for i in range(3)]
+
+    plain = ContinuousBatchingEngine(model, tok, max_slots=4)
+    want = [
+        plain.submit(ids, max_new_tokens=10, settings=GREEDY,
+                     stop_tokens=(-1,))
+        for ids in idss
+    ]
+    plain.run()
+
+    eng = ContinuousBatchingEngine(
+        model, tok, max_slots=4,
+        spec_proposer=NgramProposer(), spec_lookahead=4,
+    )
+    reqs = [
+        eng.submit(ids, max_new_tokens=10, settings=GREEDY,
+                   stop_tokens=(-1,))
+        for ids in idss
+    ]
+    eng.run()
+    for w, r in zip(want, reqs):
+        assert r.new_tokens == w.new_tokens
+    assert eng.spec_stats["steps"] > 0
+    # drafts must flow through the verify path
+    assert eng.spec_stats["drafted"] > 0
+
+
+def test_spec_mode_stop_token_mid_draft(model):
+    """A stop token inside an accepted draft prefix ends the request there;
+    tokens past it are discarded."""
+    from exllama_tpu.speculative import NgramProposer
+
+    tok = FakeTokenizer()
+    eng = ContinuousBatchingEngine(
+        model, tok, max_slots=2,
+        spec_proposer=NgramProposer(), spec_lookahead=4,
+    )
+    ids = tok.encode("halt on token")[0]
+    # run plain first to learn what token arrives 3rd, stop on it
+    plain = ContinuousBatchingEngine(model, tok, max_slots=2)
+    probe = plain.submit(ids, max_new_tokens=8, settings=GREEDY,
+                         stop_tokens=(-1,))
+    plain.run()
+    stop = probe.new_tokens[2]
+    req = eng.submit(ids, max_new_tokens=8, settings=GREEDY,
+                     stop_tokens=(stop,))
+    eng.run()
+    first = req.new_tokens.index(stop) if stop in req.new_tokens else -1
+    assert first >= 0
+    assert req.new_tokens[-1] == stop       # nothing emitted past the stop
+    assert req.new_tokens == probe.new_tokens[: first + 1]
+
+
+def test_spec_mode_max_new_tokens_exact(model):
+    from exllama_tpu.speculative import NgramProposer
+
+    tok = FakeTokenizer()
+    eng = ContinuousBatchingEngine(
+        model, tok, max_slots=2,
+        spec_proposer=NgramProposer(), spec_lookahead=4,
+    )
+    ids = tok.encode("count limit test count limit test")[0]
+    req = eng.submit(ids, max_new_tokens=5, settings=GREEDY,
+                     stop_tokens=(-1,))
+    eng.run()
+    assert len(req.new_tokens) == 5
