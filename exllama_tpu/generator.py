@@ -643,6 +643,10 @@ class ExLlamaGenerator:
                     self._beam_cache.state = _map_state(
                         lambda x: x[:k], st
                     )
+                    # keep .shape honest so the re-expansion reuse check
+                    # (shape[1] != k) sees the pruned row count
+                    sh = self._beam_cache.shape
+                    self._beam_cache.shape = (sh[0], k) + tuple(sh[2:])
                 self._beam_seqs = np.concatenate(
                     [self._beam_seqs[parents], tokens[:, None]], axis=1
                 )
@@ -665,6 +669,8 @@ class ExLlamaGenerator:
         self._beam_cache.state = _map_state(
             lambda x: jnp.take(x, idx, axis=0), st
         )
+        sh = self._beam_cache.shape
+        self._beam_cache.shape = (sh[0], len(keep)) + tuple(sh[2:])
         self._beam_seqs = self._beam_seqs[keep][:, 1:]
         self._beam_lps = self._beam_lps[keep]
         self._beam_prefix += 1

@@ -146,3 +146,20 @@ def test_beam_host_traffic_is_small(model, monkeypatch):
     gen.end_beam_search()
     monkeypatch.undo()
     assert big_fetches == [], big_fetches
+
+
+def test_beam_length_one_multiple_calls(model):
+    """Regression: beams>1 with beam_length==1 rolls the window over on
+    every call, re-expanding off a pruned beam cache — the cached .shape
+    must track the pruned row count or copy_states crashes on call 2."""
+    g = fresh_gen(model)
+    g.settings.top_k = 20
+    g.settings.temperature = 1.0
+    g.settings.beams = 3
+    g.settings.beam_length = 1
+    g.gen_begin(FakeTokenizer().encode("short window beams"))
+    g.begin_beam_search()
+    toks = [int(g.beam_search()[0, 0]) for _ in range(4)]
+    g.end_beam_search()
+    assert len(toks) == 4
+    assert all(0 <= t < g.model.config.vocab_size for t in toks)
