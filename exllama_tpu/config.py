@@ -51,6 +51,13 @@ class TuningParams:
     # analogue of the reference's q4_attn/q4_mlp launch fusion; disabled
     # automatically for act-order checkpoints and TP-sharded meshes.
     fuse_projections: bool = True
+    # Fuse the whole decode MLP block (post-norm → gate/up GEMV → silu·mul →
+    # down GEMV → residual) into one Pallas kernel (ops/mlp.q4_mlp) — the
+    # TPU analogue of the reference's q4_mlp megakernel (q4_mlp.cu:100-199).
+    # Applies only where fused_mlp_applicable() holds (npair, no act-order,
+    # no MLP LoRA, hidden % 1024 == 0, decode-sized M); otherwise the
+    # separate-kernel path runs regardless of this flag.
+    fuse_mlp: bool = True
     # Decode-time attention length bucketing: round the attended KV length up
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).

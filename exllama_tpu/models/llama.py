@@ -126,6 +126,7 @@ def _decoder_layer(
     attn_impl: str = "auto",
     lora=None,
     defer_kv: bool = False,
+    mlp_fuse: bool = True,
 ):
     b, t, hidden = h.shape
 
@@ -183,6 +184,18 @@ def _decoder_layer(
     h = h + proj(attn.reshape(b, t, cfg_heads * cfg_head_dim), lp.o, "o")
 
     # --- MLP (reference ExLlamaMLP.forward, model.py:266-273)
+    from exllama_tpu.ops.mlp import fused_mlp_applicable, q4_mlp
+
+    if mlp_fuse and fused_mlp_applicable(
+        lp.gateup, lp.down, hidden, b * t, matmul_impl,
+        has_lora=any(
+            lora_ab(n) is not None for n in ("gate", "up", "down")
+        ),
+    ):
+        # whole block (norm→gateup→silu·mul→down→residual) in ONE kernel
+        h = q4_mlp(h, lp.post_norm, lp.gateup, lp.down, eps,
+                   impl=matmul_impl)
+        return h, kc, vc, ksc, vsc, k_row, v_row
     a = rms_norm(h, lp.post_norm, eps)
     if lp.gateup is not None:
         ni = lp.down.in_features
@@ -211,6 +224,7 @@ def _decoder_layer(
         "matmul_impl",
         "attn_impl",
         "head_mode",
+        "mlp_fuse",
     ),
     donate_argnames=("kv",),
 )
@@ -232,6 +246,7 @@ def forward_chunk(
     matmul_impl: str,
     attn_impl: str = "auto",
     head_mode: str = "logits",
+    mlp_fuse: bool = True,
 ):
     """One forward chunk over all layers. Returns (logits|None, new KV).
 
@@ -260,6 +275,7 @@ def forward_chunk(
         input_mask=input_mask,
         matmul_impl=matmul_impl,
         attn_impl=attn_impl,
+        mlp_fuse=mlp_fuse,
     )
 
     quantized_kv = kv.k_scale is not None
@@ -453,6 +469,7 @@ class ExLlama:
                 eps=cfg.rms_norm_eps,
                 matmul_impl=self._matmul_impl(),
                 attn_impl=self._attn_impl(),
+                mlp_fuse=self.config.tuning.fuse_mlp,
             )
             cache.state = new_state
             cache.current_seq_len += chunk

@@ -1,0 +1,329 @@
+"""Fused MLP block: post-norm → gate/up GEMV → SiLU·mul → down GEMV →
+residual add, in ONE Pallas kernel call.
+
+TPU-native analogue of the reference's q4_mlp megakernel
+(exllama_ext/cuda_func/q4_mlp.cu:100-199), which fuses the whole MLP to cut
+kernel-launch overhead. Under XLA the elementwise glue already fuses, but
+each Pallas matmul is still its own custom call with ~5-9 µs fixed dispatch
+cost on v5e; at decode (M ≤ 32) the MLP is two of the five Pallas calls per
+layer plus the norm/silu/residual XLA kernels between them. This kernel
+replaces all of it with a single two-phase grid:
+
+  phase A (steps 0..A-1): xn = rms_norm(h)·w  (prologue, step 0), then the
+      npair q4 GEMV of xn against gate/up column blocks, partials written to
+      a VMEM f32 scratch.
+  boundary (step A):      mid = silu(gate)·up  (bf16, matching the unfused
+      path's cast order exactly).
+  phase B (steps A..A+B): npair q4 GEMV of mid against down column blocks,
+      epilogue adds the residual h and writes the output block.
+
+Weight blocks for the inactive phase are pinned by clamped index maps, so
+the pipeline fetches each block exactly once; down block 0 prefetches
+during phase A. Numerics match the unfused pallas path operation-for-
+operation (same group math, same cast points) — the only divergence is
+rsqrt provenance in the norm (Mosaic vs XLA, ≤1 ulp f32).
+
+Used for decode shapes only (M ≤ 32); prefill keeps the cached-dequant
+matmul kernels where MXU utilization, not launch count, dominates.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF, QuantTensor
+
+GEMV_MAX_M = 32
+_STEP_BYTES_MAX = 12 * 1024 * 1024
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def _npair_gemv_partials(x, b8, s, z, groupsize):
+    """One npair GEMV block: x [bm, bk] · packed [bk, bn/2] → list of
+    (lo, hi) f32 [bm, PAIR_HALF] partial pairs, one per N_ALIGN sub-block.
+    Same math as ops/quant._q4_gemv_kernel_npair."""
+    gs = groupsize
+    bk = x.shape[1]
+    half = PAIR_HALF
+    nsub = b8.shape[1] // half
+    acc_lo = [jnp.zeros((x.shape[0], half), jnp.float32) for _ in range(nsub)]
+    acc_hi = [jnp.zeros((x.shape[0], half), jnp.float32) for _ in range(nsub)]
+    for g in range(bk // gs):
+        blk = b8[g * gs : (g + 1) * gs, :]
+        bval = blk.astype(jnp.bfloat16)           # 16 q_hi - 128 + q_lo
+        hv = (blk & (-16)).astype(jnp.bfloat16)   # 16 q_hi - 128
+        xg = x[:, g * gs : (g + 1) * gs]
+        d1 = jnp.dot(xg, bval, preferred_element_type=jnp.float32)
+        d2 = jnp.dot(xg, hv, preferred_element_type=jnp.float32)
+        xs = xg.astype(jnp.float32).sum(axis=1, keepdims=True)
+        for sub in range(nsub):
+            sl = slice(sub * half, (sub + 1) * half)
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+            acc_lo[sub] += (d1[:, sl] - d2[:, sl]) * s[g : g + 1, lo_c] \
+                - xs * z[g : g + 1, lo_c]
+            acc_hi[sub] += (d2[:, sl] * 0.0625 + xs * 8.0) * s[
+                g : g + 1, hi_c
+            ] - xs * z[g : g + 1, hi_c]
+    return acc_lo, acc_hi
+
+
+def _q4_mlp_kernel(
+    h_ref,       # [bm, K1] bf16 residual input (whole hidden)
+    nw_ref,      # [1, K1]  post-attention norm weight
+    guq_ref,     # [K1/4, bn_a/2] int32 npair gate/up block (phase A)
+    gus_ref,     # [1, K1/gs, bn_a]
+    guz_ref,     # [1, K1/gs, bn_a]
+    dq_ref,      # [K2/4, bn_b/2] int32 down block (phase B)
+    ds_ref,      # [1, K2/gs, bn_b]
+    dz_ref,      # [1, K2/gs, bn_b]
+    out_ref,     # [bm, bn_b]
+    xn_scr,      # [bm, K1] bf16 normed activation
+    gu_scr,      # [bm, N_gu_pad] f32 gate/up output
+    mid_scr,     # [bm, K2] bf16 silu(gate)·up
+    *,
+    groupsize: int,
+    steps_a: int,
+    bn_a: int,
+    inter: int,
+    gu_half_cols: int,   # padded_n(inter): column offset of `up` in gu_scr
+    eps: float,
+):
+    t = pl.program_id(1)
+
+    # ---- phase A prologue: rms_norm(h) · w, once per M block
+    @pl.when(t == 0)
+    def _():
+        xf = h_ref[:].astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
+        xn_scr[:] = xn.astype(xn_scr.dtype)
+
+    # ---- phase A: gate/up GEMV into gu_scr columns [t·bn_a, (t+1)·bn_a)
+    @pl.when(t < steps_a)
+    def _():
+        b8 = pltpu.bitcast(guq_ref[:], jnp.int8)
+        s = gus_ref[0].astype(jnp.float32)
+        z = guz_ref[0].astype(jnp.float32)
+        acc_lo, acc_hi = _npair_gemv_partials(xn_scr[:], b8, s, z, groupsize)
+        base = pl.multiple_of(t * bn_a, bn_a)
+        for sub in range(len(acc_lo)):
+            gu_scr[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)] = acc_lo[sub]
+            gu_scr[
+                :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
+            ] = acc_hi[sub]
+
+    # ---- boundary: mid = silu(gate)·up with the unfused path's exact casts
+    @pl.when(t == steps_a)
+    def _():
+        g_b = gu_scr[:, :inter].astype(jnp.bfloat16)       # kernel-out cast
+        u_b = gu_scr[:, gu_half_cols : gu_half_cols + inter].astype(
+            jnp.bfloat16
+        )
+        sg = jax.nn.silu(g_b.astype(jnp.float32)).astype(jnp.bfloat16)
+        mid_scr[:] = sg * u_b
+
+    # ---- phase B: down GEMV + residual
+    @pl.when(t >= steps_a)
+    def _():
+        j = t - steps_a
+        b8 = pltpu.bitcast(dq_ref[:], jnp.int8)
+        s = ds_ref[0].astype(jnp.float32)
+        z = dz_ref[0].astype(jnp.float32)
+        acc_lo, acc_hi = _npair_gemv_partials(mid_scr[:], b8, s, z, groupsize)
+        bn_b = out_ref.shape[1]
+        base = pl.multiple_of(j * bn_b, bn_b)
+        for sub in range(len(acc_lo)):
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + PAIR_HALF)
+            hi_c = slice(sub * N_ALIGN + PAIR_HALF, (sub + 1) * N_ALIGN)
+            res_lo = h_ref[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)]
+            res_hi = h_ref[
+                :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
+            ]
+            out_ref[:, lo_c] = res_lo + acc_lo[sub].astype(h_ref.dtype)
+            out_ref[:, hi_c] = res_hi + acc_hi[sub].astype(h_ref.dtype)
+
+
+def _pick_bn(n_pad: int, k: int) -> int:
+    """Largest N_ALIGN-multiple divisor of n_pad whose weight-block stream
+    stays under the per-step byte cap (ops/quant.GEMV_STEP_BYTES_MAX logic)."""
+    best = N_ALIGN
+    for bn in range(N_ALIGN, n_pad + 1, N_ALIGN):
+        if n_pad % bn == 0 and k * bn // 2 <= _STEP_BYTES_MAX:
+            best = bn
+    return best
+
+
+def _fused_mlp_vmem(k1, k2, bn_a, bn_b, n_gu, bm, gs) -> int:
+    return (
+        k1 * bn_a            # gate/up qweight block ×2 buffers (int32 /4·/2)
+        + k2 * bn_b          # down qweight block ×2 buffers
+        + (k1 // gs) * bn_a * 2 * 4 + (k2 // gs) * bn_b * 2 * 4
+        + bm * (k1 * 2 * 2 + n_gu * 4 + k2 * 2 + bn_b * 2 * 2 + k1 * 2)
+    )
+
+
+def fused_mlp_applicable(
+    gateup: "QuantTensor | None",
+    down: "QuantTensor | None",
+    hidden: int,
+    m: int,
+    matmul_impl: str,
+    has_lora: bool,
+) -> bool:
+    """Decode-shape MLP fusion gate: npair weights, no act-order, no LoRA on
+    the MLP, residual width == down's padded output (hidden % 1024 == 0 —
+    33B's 6656 falls back), M small enough for the GEMV regime."""
+    if gateup is None or down is None or has_lora:
+        return False
+    if matmul_impl not in ("pallas", "pallas_interpret"):
+        return False
+    if m > GEMV_MAX_M:
+        return False
+    if gateup.layout != "npair" or down.layout != "npair":
+        return False
+    if gateup.x_map is not None or down.x_map is not None:
+        return False
+    if down.padded_out_features != hidden or hidden % N_ALIGN != 0:
+        return False
+    if down.in_features % 128 != 0 or gateup.groupsize != down.groupsize:
+        return False
+    n_gu = gateup.padded_out_features
+    bn_a = _pick_bn(n_gu, hidden)
+    bn_b = _pick_bn(hidden, down.in_features)
+    bm = 8 if m <= 8 else (16 if m <= 16 else 32)
+    return _fused_mlp_vmem(
+        hidden, down.in_features, bn_a, bn_b, n_gu, bm, gateup.groupsize
+    ) <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "groupsize", "bn_a", "bn_b", "inter", "eps", "interpret"
+    ),
+)
+def _q4_mlp_call(
+    h2,          # [m_pad, K1] bf16
+    nw,          # [1, K1]
+    guq, gus, guz,
+    dq, ds, dz,
+    *,
+    groupsize: int,
+    bn_a: int,
+    bn_b: int,
+    inter: int,
+    eps: float,
+    interpret: bool,
+):
+    m_pad, k1 = h2.shape
+    n_gu = gus.shape[1]
+    k2 = inter
+    n_out = ds.shape[1]
+    gsz1 = k1 // groupsize
+    gsz2 = k2 // groupsize
+    steps_a = n_gu // bn_a
+    steps_b = n_out // bn_b
+    gu_half_cols = n_gu // 2
+    bm = m_pad
+    kernel = functools.partial(
+        _q4_mlp_kernel,
+        groupsize=groupsize,
+        steps_a=steps_a,
+        bn_a=bn_a,
+        inter=inter,
+        gu_half_cols=gu_half_cols,
+        eps=eps,
+    )
+    last_a = steps_a - 1
+    flops = 2 * m_pad * (k1 * n_gu + k2 * n_out)
+    bytes_accessed = (
+        k1 * n_gu // 2 + k2 * n_out // 2
+        + 2 * (gsz1 * n_gu + gsz2 * n_out) * 2
+        + m_pad * (k1 + n_out) * 2
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm, steps_a + steps_b),
+        in_specs=[
+            pl.BlockSpec((bm, k1), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k1), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1 // 4, bn_a // 2),
+                         lambda i, t: (0, jnp.minimum(t, last_a)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz1, bn_a),
+                         lambda i, t: (0, 0, jnp.minimum(t, last_a)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz1, bn_a),
+                         lambda i, t: (0, 0, jnp.minimum(t, last_a)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2 // 4, bn_b // 2),
+                         lambda i, t: (0, jnp.maximum(t - steps_a, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz2, bn_b),
+                         lambda i, t: (0, 0, jnp.maximum(t - steps_a, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz2, bn_b),
+                         lambda i, t: (0, 0, jnp.maximum(t - steps_a, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn_b), lambda i, t: (i, jnp.maximum(t - steps_a, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_out), h2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k1), h2.dtype),
+            pltpu.VMEM((bm, n_gu), jnp.float32),
+            pltpu.VMEM((bm, k2), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(h2, nw, guq, gus.reshape(1, gsz1, n_gu), guz.reshape(1, gsz1, n_gu),
+      dq, ds.reshape(1, gsz2, n_out), dz.reshape(1, gsz2, n_out))
+
+
+def q4_mlp(
+    h: jax.Array,          # [..., hidden] bf16 pre-norm residual stream
+    norm_w: jax.Array,     # [hidden]
+    gateup: QuantTensor,
+    down: QuantTensor,
+    eps: float,
+    impl: str = "pallas",
+) -> jax.Array:
+    """h + down( silu(gate(xn)) · up(xn) ), xn = rms_norm(h, norm_w) —
+    the whole MLP block in one kernel (see module docstring). Caller must
+    have checked ``fused_mlp_applicable``."""
+    *lead, k1 = h.shape
+    m = 1
+    for d in lead:
+        m *= d
+    h2 = h.reshape(m, k1)
+    bm = 8 if m <= 8 else (16 if m <= 16 else 32)
+    if m != bm:
+        h2 = jnp.pad(h2, ((0, bm - m), (0, 0)))
+    inter = down.in_features
+    bn_a = _pick_bn(gateup.padded_out_features, k1)
+    bn_b = _pick_bn(down.padded_out_features, inter)
+    out = _q4_mlp_call(
+        h2, norm_w.reshape(1, k1).astype(h.dtype),
+        gateup.qweight, gateup.scales, gateup.zscale,
+        down.qweight, down.scales, down.zscale,
+        groupsize=gateup.groupsize,
+        bn_a=bn_a, bn_b=bn_b, inter=inter, eps=float(eps),
+        interpret=impl.endswith("_interpret"),
+    )
+    return out[:m].reshape(*lead, k1)
