@@ -58,6 +58,11 @@ class TuningParams:
     # no MLP LoRA, hidden % 1024 == 0, decode-sized M); otherwise the
     # separate-kernel path runs regardless of this flag.
     fuse_mlp: bool = True
+    # Fuse decode attention + o-projection + residual into one Pallas kernel
+    # (ops/attn_block.attn_block_o) — the analogue of the reference's q4_attn
+    # megakernel (q4_attn.cu:74-204). Applies on the deferred-commit decode
+    # path when attn_o_applicable() holds; falls back otherwise.
+    fuse_attn: bool = True
     # Decode-time attention length bucketing: round the attended KV length up
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).

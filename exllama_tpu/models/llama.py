@@ -127,6 +127,7 @@ def _decoder_layer(
     lora=None,
     defer_kv: bool = False,
     mlp_fuse: bool = True,
+    attn_fuse: bool = True,
 ):
     b, t, hidden = h.shape
 
@@ -149,10 +150,21 @@ def _decoder_layer(
         return out + lora_delta(x, ab)
 
     # --- attention (reference ExLlamaAttention.forward, model.py:421-502)
-    a = rms_norm(h, lp.input_norm, eps)
     nq = cfg_heads * cfg_head_dim
     nkv = cfg_kv_heads * cfg_head_dim
-    if lp.qkv is not None:
+    qkv_lora = any(lora_ab(n) is not None for n in ("q", "k", "v"))
+    if lp.qkv is not None and not qkv_lora:
+        # input norm rides along in the GEMV kernel prologue (decode) or
+        # is applied inside q4_matmul (prefill/fallback paths)
+        fused = q4_matmul(h, lp.qkv, impl=matmul_impl,
+                          norm_w=lp.input_norm, norm_eps=eps)
+        ok = padded_n(nq)
+        ov = ok + padded_n(nkv)
+        q = fused[..., :nq]
+        k = fused[..., ok : ok + nkv]
+        v = fused[..., ov : ov + nkv]
+    elif lp.qkv is not None:
+        a = rms_norm(h, lp.input_norm, eps)
         fused = q4_matmul(a, lp.qkv, impl=matmul_impl)
         ok = padded_n(nq)
         ov = ok + padded_n(nkv)
@@ -160,6 +172,7 @@ def _decoder_layer(
         k = lora_add(fused[..., ok : ok + nkv], a, "k")
         v = lora_add(fused[..., ov : ov + nkv], a, "v")
     else:
+        a = rms_norm(h, lp.input_norm, eps)
         q = proj(a, lp.q, "q")
         k = proj(a, lp.k, "k")
         v = proj(a, lp.v, "v")
@@ -174,14 +187,31 @@ def _decoder_layer(
         # caller batches all layers' cache writes into one kernel call
         # (ops/attention.commit_kv_cache)
         k_row, v_row = k, v
-        attn = attend(q, kc, vc, past_len, attend_len, input_mask,
-                      impl=attn_impl, k_scale=ksc, v_scale=vsc,
-                      new_kv=(k, v))
+        from exllama_tpu.ops.attn_block import (
+            attn_block_o, attn_o_applicable,
+        )
+
+        if attn_fuse and attn_impl.startswith("flash") and attn_o_applicable(
+            lp.o, hidden, cfg_heads, cfg_head_dim, t, matmul_impl,
+            deferred=True, has_lora=lora_ab("o") is not None,
+        ):
+            # attention + o-projection + residual in ONE kernel
+            h = attn_block_o(
+                h, q, kc, vc, past_len, attend_len, lp.o, (k, v),
+                input_mask=input_mask, k_scale=ksc, v_scale=vsc,
+                impl=matmul_impl,
+            )
+            attn = None
+        else:
+            attn = attend(q, kc, vc, past_len, attend_len, input_mask,
+                          impl=attn_impl, k_scale=ksc, v_scale=vsc,
+                          new_kv=(k, v))
     else:
         kc, vc, ksc, vsc = update_kv_cache(kc, vc, k, v, past_len, ksc, vsc)
         attn = attend(q, kc, vc, past_len, attend_len, input_mask,
                       impl=attn_impl, k_scale=ksc, v_scale=vsc)
-    h = h + proj(attn.reshape(b, t, cfg_heads * cfg_head_dim), lp.o, "o")
+    if attn is not None:
+        h = h + proj(attn.reshape(b, t, cfg_heads * cfg_head_dim), lp.o, "o")
 
     # --- MLP (reference ExLlamaMLP.forward, model.py:266-273)
     from exllama_tpu.ops.mlp import fused_mlp_applicable, q4_mlp
@@ -225,6 +255,7 @@ def _decoder_layer(
         "attn_impl",
         "head_mode",
         "mlp_fuse",
+        "attn_fuse",
     ),
     donate_argnames=("kv",),
 )
@@ -247,6 +278,7 @@ def forward_chunk(
     attn_impl: str = "auto",
     head_mode: str = "logits",
     mlp_fuse: bool = True,
+    attn_fuse: bool = True,
 ):
     """One forward chunk over all layers. Returns (logits|None, new KV).
 
@@ -276,6 +308,7 @@ def forward_chunk(
         matmul_impl=matmul_impl,
         attn_impl=attn_impl,
         mlp_fuse=mlp_fuse,
+        attn_fuse=attn_fuse,
     )
 
     quantized_kv = kv.k_scale is not None
@@ -470,6 +503,7 @@ class ExLlama:
                 matmul_impl=self._matmul_impl(),
                 attn_impl=self._attn_impl(),
                 mlp_fuse=self.config.tuning.fuse_mlp,
+                attn_fuse=self.config.tuning.fuse_attn,
             )
             cache.state = new_state
             cache.current_seq_len += chunk

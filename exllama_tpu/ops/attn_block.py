@@ -1,0 +1,406 @@
+"""Fused decode attention block: flash attention + o-projection + residual
+in ONE Pallas kernel.
+
+TPU-native analogue of the reference's q4_attn megakernel
+(exllama_ext/cuda_func/q4_attn.cu:74-204), which fuses the attention block
+to cut launch count. Decode (T=1, deferred KV commit) runs a two-phase grid:
+
+  phase C (steps 0..B·Hkv·n_sk-1): per-(batch, kv-head) online-softmax
+      strips over the KV cache — the same math as ops/attention's flash
+      kernel restricted to T=1 deferred decode — with each finished strip's
+      normalized [G, D] head outputs copied into a VMEM scratch holding the
+      flat [B, H·D] attention result.
+  phase D (steps ..+N/bn_o): npair q4 GEMV of that scratch against the
+      o-projection column blocks, the residual stream added in the
+      epilogue.
+
+Clamped index maps pin the inactive phase's operands, so KV strips stream
+exactly once and the o weight prefetches during the last attention strip.
+Supports bf16 and int8 KV caches, scalar or per-slot cursors, and the
+left-pad bias; everything else (prefill, non-deferred, odd head dims)
+keeps the separate attend + q4_matmul path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF, QuantTensor
+from exllama_tpu.ops.attention import NEG_INF, _MASK_VALUE
+
+_STEP_BYTES_MAX = 12 * 1024 * 1024
+
+
+def _npair_gemv_partials(x, b8, s, z, groupsize):
+    from exllama_tpu.ops.mlp import _npair_gemv_partials as f
+
+    return f(x, b8, s, z, groupsize)
+
+
+def _attn_o_kernel(
+    past_ref,    # SMEM [B, 1] int32 (scalar-prefetch)
+    q_ref,       # [1, 1, R, D] query rows of this (b, kv-head); R = pad(G)
+    k_ref,       # [1, 1, bk, D] bf16 | int8
+    v_ref,       # [1, 1, bk, D]
+    ks_ref,      # [1, 1, 1, bk] f32 per-row K scales (int8 KV) or None
+    vs_ref,      # [1, 1, 1, bk] f32
+    bias_ref,    # [1, 1, bk] f32 left-pad bias or None
+    kn_ref,      # [1, 1, 1, D] in-flight K row (deferred commit)
+    vn_ref,      # [1, 1, 1, D]
+    h_ref,       # [bm, K1] bf16 residual stream (whole)
+    oq_ref,      # [K1/4, bn_o/2] int32 npair o-proj block (phase D)
+    os_ref,      # [1, K1/gs, bn_o]
+    oz_ref,      # [1, K1/gs, bn_o]
+    out_ref,     # [bm, bn_o]
+    m_scr,       # [R, 128] f32
+    l_scr,       # [R, 128] f32
+    acc_scr,     # [R, D] f32
+    attn_scr,    # [bm, K1] bf16 flat attention output (head-major)
+    *,
+    g: int,
+    d: int,
+    hkv: int,
+    n_sk: int,
+    steps_c: int,
+    scale: float,
+    groupsize: int,
+    have_bias: bool,
+):
+    t = pl.program_id(0)
+    # phase C decomposition: t = (b * hkv + h) * n_sk + si
+    bh = t // n_sk
+    si = t % n_sk
+    b_idx = bh // hkv
+    h_idx = bh % hkv
+    bk = k_ref.shape[2]
+
+    @pl.when((t < steps_c) & (si == 0))
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _MASK_VALUE)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    past = past_ref[jnp.minimum(b_idx, past_ref.shape[0] - 1), 0]
+
+    @pl.when((t < steps_c) & (si * bk < past))
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        if k.dtype == jnp.int8:
+            k = k.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, bk]
+        if ks_ref is not None:
+            s = s * ks_ref[0, 0]
+        s = s * scale
+        s_pos = si * bk + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        # deferred commit: cache position `past` holds stale data — the
+        # query's own row folds in at strip end via kn/vn
+        s = jnp.where(s_pos < past, s, _MASK_VALUE)
+        if have_bias:
+            s = s + bias_ref[0, 0][None, :]
+        m_prev = m_scr[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_scr[:] = jnp.broadcast_to(
+            alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True),
+            l_scr.shape,
+        )
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        v = v_ref[0, 0]
+        if v.dtype == jnp.int8:
+            p = p * vs_ref[0, 0]
+            v = v.astype(jnp.bfloat16)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when((t < steps_c) & (si == n_sk - 1))
+    def _():
+        # fold the in-flight row (always causally valid at T=1), normalize,
+        # and park this head's rows in the flat attention scratch
+        q = q_ref[0, 0]
+        kn = kn_ref[0, 0]
+        s_new = jax.lax.dot_general(
+            q, kn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                    # [R, 1]
+        m_prev = m_scr[:, :1]
+        m_fin = jnp.maximum(m_prev, s_new)
+        alpha = jnp.exp(m_prev - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        l_fin = alpha * l_scr[:, :1] + p_new
+        vn = vn_ref[0, 0].astype(jnp.float32)
+        acc = acc_scr[:] * alpha + p_new * vn
+        l = jnp.where(l_fin == 0.0, 1.0, l_fin)
+        rows = (acc / l).astype(attn_scr.dtype)      # [R, D]
+        base = pl.multiple_of(h_idx * (g * d), d)
+        for j in range(g):
+            attn_scr[
+                pl.ds(b_idx, 1), pl.ds(base + j * d, d)
+            ] = rows[j : j + 1, :]
+
+    @pl.when(t >= steps_c)
+    def _():
+        j = t - steps_c
+        b8 = pltpu.bitcast(oq_ref[:], jnp.int8)
+        s = os_ref[0].astype(jnp.float32)
+        z = oz_ref[0].astype(jnp.float32)
+        acc_lo, acc_hi = _npair_gemv_partials(
+            attn_scr[:], b8, s, z, groupsize
+        )
+        bn_o = out_ref.shape[1]
+        base = pl.multiple_of(j * bn_o, bn_o)
+        for sub in range(len(acc_lo)):
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + PAIR_HALF)
+            hi_c = slice(sub * N_ALIGN + PAIR_HALF, (sub + 1) * N_ALIGN)
+            res_lo = h_ref[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)]
+            res_hi = h_ref[
+                :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
+            ]
+            out_ref[:, lo_c] = res_lo + acc_lo[sub].astype(h_ref.dtype)
+            out_ref[:, hi_c] = res_hi + acc_hi[sub].astype(h_ref.dtype)
+
+
+def _pick_bk(attend_len: int) -> int:
+    for cand in (2048, 1024, 512, 384, 256, 128):
+        if attend_len % cand == 0:
+            return cand
+    return attend_len
+
+
+def _pick_bn_o(n_pad: int, k: int) -> int:
+    best = N_ALIGN
+    for bn in range(N_ALIGN, n_pad + 1, N_ALIGN):
+        if n_pad % bn == 0 and k * bn // 2 <= _STEP_BYTES_MAX:
+            best = bn
+    return best
+
+
+def attn_o_applicable(
+    o: "QuantTensor | None",
+    hidden: int,
+    heads: int,
+    head_dim: int,
+    t: int,
+    matmul_impl: str,
+    deferred: bool,
+    has_lora: bool,
+) -> bool:
+    """Fused attention-block gate: decode only (T=1, deferred commit), npair
+    o-proj without act-order or LoRA, lane-legal head dim, residual width ==
+    o's padded output."""
+    if o is None or has_lora or not deferred or t != 1:
+        return False
+    if matmul_impl not in ("pallas", "pallas_interpret"):
+        return False
+    if o.layout != "npair" or o.x_map is not None:
+        return False
+    if o.padded_out_features != hidden or hidden % N_ALIGN != 0:
+        return False
+    if head_dim % 128 != 0:
+        return False
+    return o.in_features == heads * head_dim
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "attend_len", "g", "groupsize", "bn_o", "interpret"
+    ),
+)
+def _attn_o_call(
+    qr,          # [B, Hkv, R, D] post-rope query rows (R = pad(G))
+    k_cache,     # [B, Hkv, S_max, D]
+    v_cache,
+    past_b,      # [B, 1] int32
+    bias,        # [B, 1, S_max] f32 or None
+    ks4,         # [B, Hkv, 1, S_max] f32 or None
+    vs4,
+    k_new,       # [B, Hkv, 1, D]
+    v_new,
+    h2,          # [bm, K1] bf16 residual (B rows padded to bm)
+    oq, os_, oz,
+    *,
+    attend_len: int,
+    g: int,
+    groupsize: int,
+    bn_o: int,
+    interpret: bool,
+):
+    b, hkv, r, d = qr.shape
+    bm, k1 = h2.shape
+    n_pad = os_.shape[1]
+    gsz = k1 // groupsize
+    bk = _pick_bk(attend_len)
+    n_sk = attend_len // bk
+    steps_c = b * hkv * n_sk
+    steps_d = n_pad // bn_o
+    last_d = steps_d - 1
+
+    def cphase(t):
+        # clamped phase-C operand coordinates
+        tc = jnp.minimum(t, steps_c - 1)
+        bh = tc // n_sk
+        return bh // hkv, bh % hkv, tc % n_sk
+
+    kernel = functools.partial(
+        _attn_o_kernel,
+        g=g, d=d, hkv=hkv, n_sk=n_sk, steps_c=steps_c,
+        scale=1.0 / (d ** 0.5), groupsize=groupsize,
+        have_bias=bias is not None,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, r, d),
+                     lambda t, *_: (*cphase(t)[:2], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda t, *_: (cphase(t)[0], cphase(t)[1], cphase(t)[2], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda t, *_: (cphase(t)[0], cphase(t)[1], cphase(t)[2], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qr, k_cache, v_cache]
+    have_scales = ks4 is not None
+    if have_scales:
+        for sc in (ks4, vs4):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 1, bk),
+                lambda t, *_: (cphase(t)[0], cphase(t)[1], 0, cphase(t)[2]),
+                memory_space=pltpu.VMEM,
+            ))
+            args.append(sc)
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bk), lambda t, *_: (cphase(t)[0], 0, cphase(t)[2]),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(bias)
+    for nr in (k_new, v_new):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, d), lambda t, *_: (cphase(t)[0], cphase(t)[1], 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(nr)
+    in_specs += [
+        pl.BlockSpec((bm, k1), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k1 // 4, bn_o // 2),
+                     lambda t, *_: (0, jnp.maximum(t - steps_c, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gsz, bn_o),
+                     lambda t, *_: (0, 0, jnp.maximum(t - steps_c, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gsz, bn_o),
+                     lambda t, *_: (0, 0, jnp.maximum(t - steps_c, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [h2, oq, os_.reshape(1, gsz, n_pad), oz.reshape(1, gsz, n_pad)]
+
+    def kern(past_ref, q_ref, k_ref, v_ref, *rest):
+        rest = list(rest)
+        ks_ref = vs_ref = bias_ref = None
+        if have_scales:
+            ks_ref = rest.pop(0)
+            vs_ref = rest.pop(0)
+        if bias is not None:
+            bias_ref = rest.pop(0)
+        kn_ref = rest.pop(0)
+        vn_ref = rest.pop(0)
+        h_ref, oq_ref, os_ref, oz_ref = rest[:4]
+        out_ref, m, l, acc, attn = rest[4:]
+        return kernel(past_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                      bias_ref, kn_ref, vn_ref, h_ref, oq_ref, os_ref,
+                      oz_ref, out_ref, m, l, acc, attn)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps_c + steps_d,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (bm, bn_o), lambda t, *_: (0, jnp.maximum(t - steps_c, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((r, 128), jnp.float32),
+                pltpu.VMEM((r, 128), jnp.float32),
+                pltpu.VMEM((r, d), jnp.float32),
+                pltpu.VMEM((bm, k1), h2.dtype),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bm, n_pad), h2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(past_b, *args)
+
+
+def attn_block_o(
+    h: jax.Array,          # [B, 1, hidden] residual stream (pre-attn-output)
+    q: jax.Array,          # [B, 1, H, D] post-rope queries
+    k_cache: jax.Array,    # [B, Hkv, S_max, D]
+    v_cache: jax.Array,
+    past_len: jax.Array,   # scalar or [B]
+    attend_len: int,
+    o: QuantTensor,
+    new_kv: tuple,         # ([B, 1, Hkv, D], [B, 1, Hkv, D]) in-flight rows
+    input_mask: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    impl: str = "pallas",
+) -> jax.Array:
+    """h + o_proj(flash_attend(q, cache ⊕ new_kv)) in one kernel. Caller
+    must have checked ``attn_o_applicable``."""
+    b, t, hh, d = q.shape
+    assert t == 1
+    hkv = k_cache.shape[1]
+    g = hh // hkv
+    hidden = h.shape[-1]
+
+    qr = q.reshape(b, 1, hkv, g, d).transpose(0, 2, 1, 3, 4)
+    qr = qr.reshape(b, hkv, g, d)
+    if g < 8:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 8 - g), (0, 0)))
+
+    past_b = jnp.broadcast_to(
+        past_len.astype(jnp.int32).reshape(-1, 1), (b, 1)
+    )
+    bias = None
+    if input_mask is not None:
+        bias = jnp.where(
+            input_mask, jnp.float32(0), jnp.float32(NEG_INF)
+        )[:, None, :]
+    ks4 = None if k_scale is None else k_scale[:, :, None, :]
+    vs4 = None if v_scale is None else v_scale[:, :, None, :]
+    k_new = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)
+    v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
+
+    h2 = h.reshape(b, hidden)
+    bm = 8 if b <= 8 else (16 if b <= 16 else 32)
+    if b != bm:
+        h2 = jnp.pad(h2, ((0, bm - b), (0, 0)))
+
+    bn_o = _pick_bn_o(o.padded_out_features, o.in_features)
+    out = _attn_o_call(
+        qr, k_cache, v_cache, past_b, bias, ks4, vs4, k_new, v_new,
+        h2, o.qweight, o.scales, o.zscale,
+        attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
+        interpret=impl.endswith("_interpret"),
+    )
+    return out[:b].reshape(b, 1, hidden)

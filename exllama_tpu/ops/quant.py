@@ -178,33 +178,53 @@ def _q4_gemv_kernel_npair(
     qw_ref,       # [bk/4, bn/2]       packed words (int32, npair)
     s_ref,        # [1, bk/gs, bn]     scales (bf16 storage)
     z_ref,        # [1, bk/gs, bn]     zscale (bf16 storage)
-    *rest,        # [sb_ref, im_ref,] out_ref, acc_ref [, x_scr]
+    *rest,        # [nw_ref,] [sb_ref, im_ref,] out_ref, acc_ref
+                  # [, x_scr | xn_scr]
     groupsize: int,
     block_k: int,
     out_dtype,
     have_xmap: bool = False,
+    have_norm: bool = False,
+    eps: float = 0.0,
 ):
     """Decode/small-M kernel over the npair layout (formats/gptq.py): one
     full-byte convert + one masked convert per byte give BOTH paired output
     columns — d1 − d2 recovers the low column exactly, d2/16 + 8Σx the
     high one. Requires bn == N_ALIGN (one pair block per grid column).
     With ``have_xmap`` the act-order activation permutation happens in a
-    kernel prologue (see _permute_prologue) instead of an XLA gather."""
+    kernel prologue (see _permute_prologue) instead of an XLA gather.
+    With ``have_norm`` (whole-K blocks, exclusive with have_xmap) x is the
+    raw residual stream and rms_norm(x)·nw happens in the prologue — the
+    input norm of a decoder block rides along with its projection."""
+    if have_norm:
+        assert not have_xmap
+        nw_ref, rest = rest[0], rest[1:]
     if have_xmap:
         sb_ref, im_ref, out_ref, acc_ref, x_scr = rest
     else:
-        out_ref, acc_ref = rest
+        out_ref, acc_ref = rest[0], rest[1]
+        xn_scr = rest[2] if have_norm else None
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if have_norm:
+        @pl.when((pl.program_id(1) == 0) & (k_idx == 0))
+        def _():
+            xf = x_ref[:].astype(jnp.float32)
+            ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
+            xn_scr[:] = xn.astype(xn_scr.dtype)
+
     if have_xmap:
         _permute_prologue(
             x_ref, sb_ref, im_ref, x_scr, block_k, x_ref.shape[0]
         )
         xsrc = x_scr
+    elif have_norm:
+        xsrc = xn_scr
     else:
         xsrc = x_ref
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk, bn/2]
@@ -706,7 +726,7 @@ def _choose_block_m(m: int) -> int:
     jax.jit,
     static_argnames=(
         "groupsize", "block_k", "block_n", "out_dtype", "kernel_kind",
-        "layout", "interpret",
+        "layout", "interpret", "norm_eps",
     ),
 )
 def _q4_matmul_pallas_call(
@@ -716,6 +736,7 @@ def _q4_matmul_pallas_call(
     zscale: jax.Array,   # [K/gs, N_pad]
     sb: "jax.Array | None" = None,   # [1, K] int32 x_map // 128 (in-kernel
     im: "jax.Array | None" = None,   # [1, K] int32 x_map % 128   permute)
+    nw: "jax.Array | None" = None,   # [1, K] rms-norm weight (fused norm)
     *,
     groupsize: int,
     block_k: int,
@@ -724,6 +745,7 @@ def _q4_matmul_pallas_call(
     kernel_kind: str,    # "gemv" | "gemv_a8" | "deqw"
     layout: str = "kgroup",
     interpret: bool,
+    norm_eps: float = 1e-6,
 ):
     m, k = x2.shape
     n_pad = scales.shape[1]
@@ -734,9 +756,13 @@ def _q4_matmul_pallas_call(
     scales3 = scales.reshape(k // block_k, gsz, n_pad)
     zscale3 = zscale.reshape(k // block_k, gsz, n_pad)
     have_xmap = sb is not None
+    have_norm = nw is not None
     if have_xmap:
         assert layout == "npair" and kernel_kind in ("gemv", "gemv_a8")
         assert block_k == k, "in-kernel permute needs whole-K blocks"
+    if have_norm:
+        assert layout == "npair" and kernel_kind == "gemv" and not have_xmap
+        assert block_k == k, "fused norm needs whole-K blocks"
     if layout == "npair":
         kern = {
             "gemv": _q4_gemv_kernel_npair,
@@ -751,6 +777,10 @@ def _q4_matmul_pallas_call(
             kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype,
             have_xmap=have_xmap,
         )
+        if kernel_kind == "gemv":
+            kernel = functools.partial(
+                kernel, have_norm=have_norm, eps=norm_eps
+            )
     else:
         kernel = functools.partial(
             kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype
@@ -782,6 +812,9 @@ def _q4_matmul_pallas_call(
         ] + ([
             pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
                          memory_space=pltpu.VMEM),
+        ] if have_norm else []) + ([
+            pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
                          memory_space=pltpu.VMEM),
         ] if have_xmap else []),
@@ -789,7 +822,8 @@ def _q4_matmul_pallas_call(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)] + (
-            [pltpu.VMEM((bm, k), x2.dtype)] if have_xmap else []
+            [pltpu.VMEM((bm, k), x2.dtype)] if (have_xmap or have_norm)
+            else []
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
@@ -799,6 +833,7 @@ def _q4_matmul_pallas_call(
         ),
         interpret=interpret,
     )(x2, qweight, scales3, zscale3,
+      *((nw,) if have_norm else ()),
       *((sb, im) if have_xmap else ()))
 
 
@@ -814,7 +849,8 @@ KERNEL_PERMUTE_MAX_BLOCKS = 112
 
 
 def _q4_matmul_pallas(
-    x: jax.Array, qt: QuantTensor, interpret: bool, a8: bool = False
+    x: jax.Array, qt: QuantTensor, interpret: bool, a8: bool = False,
+    norm_w: "jax.Array | None" = None, norm_eps: float = 1e-6,
 ) -> jax.Array:
     *lead, k = x.shape
     m = 1
@@ -851,6 +887,18 @@ def _q4_matmul_pallas(
         bn = _choose_block_n(n_pad)
         if qt.layout == "npair":
             assert bn == N_ALIGN, (bn, n_pad)  # one pair block per step
+
+    nw = None
+    if norm_w is not None:
+        # fused norm prologue needs whole-K gemv blocks without act-order;
+        # otherwise normalize here (before any x_map gather) and proceed
+        if kind == "gemv" and qt.layout == "npair" and qt.x_map is None \
+                and bk_pref == k:
+            nw = norm_w.reshape(1, k).astype(x2.dtype)
+        else:
+            from exllama_tpu.ops.norms import rms_norm
+
+            x2 = rms_norm(x2, norm_w, norm_eps)
 
     sb = im = None
     if qt.x_map is not None:
@@ -893,6 +941,7 @@ def _q4_matmul_pallas(
         qt.zscale,
         sb,
         im,
+        nw,
         groupsize=qt.groupsize,
         block_k=bk,
         block_n=bn,
@@ -900,6 +949,7 @@ def _q4_matmul_pallas(
         kernel_kind=kind,
         layout=qt.layout,
         interpret=interpret,
+        norm_eps=float(norm_eps),
     )
     out = out[:m, : qt.out_features]
     return out.reshape(*lead, qt.out_features)
@@ -914,8 +964,10 @@ def q4_matmul(
     qt: QuantTensor,
     impl: str = "auto",
     lora: "tuple[jax.Array, jax.Array] | None" = None,
+    norm_w: "jax.Array | None" = None,
+    norm_eps: float = 1e-6,
 ) -> jax.Array:
-    """``x @ dequant(qt)`` with optional fused LoRA.
+    """``x @ dequant(qt)`` with optional fused LoRA and fused input norm.
 
     x: [..., in_features]. Returns [..., out_features] in x.dtype.
 
@@ -923,10 +975,22 @@ def q4_matmul(
     matrices (B pre-scaled by alpha/r at load, like reference lora.py:103);
     the low-rank contribution is added to the quantized matmul, mirroring
     q4_matmul_lora (exllama_ext.cpp:245-324).
+
+    ``norm_w``: compute ``rms_norm(x, norm_w, norm_eps) @ dequant(qt)`` —
+    on the decode GEMV path the norm rides along in the kernel prologue
+    (one fewer dispatch per projection); elsewhere it is applied up front.
+    Mutually exclusive with ``lora`` (adapters consume the normed x).
     """
     assert x.shape[-1] == qt.in_features, (x.shape, qt.in_features)
     if impl == "auto":
         impl = "pallas" if _is_tpu() else "xla"
+    if norm_w is not None:
+        assert lora is None, "fused norm + lora unsupported; norm first"
+        if impl not in ("pallas", "pallas_interpret"):
+            from exllama_tpu.ops.norms import rms_norm
+
+            x = rms_norm(x, norm_w, norm_eps)
+            norm_w = None
 
     # pallas paths resolve the act-order permutation themselves (in-kernel
     # when the shape allows, pre-gather otherwise)
@@ -936,13 +1000,17 @@ def q4_matmul(
         )
         out = _q4_matmul_xla(x_q, qt)
     elif impl == "pallas":
-        out = _q4_matmul_pallas(x, qt, interpret=False)
+        out = _q4_matmul_pallas(x, qt, interpret=False,
+                                norm_w=norm_w, norm_eps=norm_eps)
     elif impl == "pallas_a8":
-        out = _q4_matmul_pallas(x, qt, interpret=False, a8=True)
+        out = _q4_matmul_pallas(x, qt, interpret=False, a8=True,
+                                norm_w=norm_w, norm_eps=norm_eps)
     elif impl == "pallas_a8_interpret":
-        out = _q4_matmul_pallas(x, qt, interpret=True, a8=True)
+        out = _q4_matmul_pallas(x, qt, interpret=True, a8=True,
+                                norm_w=norm_w, norm_eps=norm_eps)
     elif impl == "pallas_interpret":
-        out = _q4_matmul_pallas(x, qt, interpret=True)
+        out = _q4_matmul_pallas(x, qt, interpret=True,
+                                norm_w=norm_w, norm_eps=norm_eps)
     else:
         raise ValueError(f"unknown q4_matmul impl: {impl}")
 

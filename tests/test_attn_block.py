@@ -1,0 +1,187 @@
+"""Fused attention block (ops/attn_block.attn_block_o) vs the separate
+attend + o-projection + residual path, on the deferred-commit decode shapes
+it targets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exllama_tpu.formats import gptq
+from exllama_tpu.ops.attention import attend_xla
+from exllama_tpu.ops.attn_block import attn_block_o, attn_o_applicable
+from exllama_tpu.ops.quant import q4_matmul
+
+HIDDEN = 1024
+HEADS = 8
+D = 128
+
+
+def make_o(gs=128, seed=2):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(HIDDEN, HIDDEN)).astype(np.float32) * 0.08
+    t = gptq.quantize_matrix(w, gs, act_order=False, rng=rng)
+    return gptq.load_quant_tensor(
+        t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
+    )
+
+
+def setup(b, hkv, s_max, past, seed=0, int8_kv=False, mask=None):
+    rng = np.random.default_rng(seed)
+    g = HEADS // hkv
+    h = jnp.asarray(rng.normal(size=(b, 1, HIDDEN)) * 0.5, jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(b, 1, HEADS, D)) * 0.5, jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(b, hkv, s_max, D)) * 0.5, jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(b, hkv, s_max, D)) * 0.5, jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(b, 1, hkv, D)) * 0.5, jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(b, 1, hkv, D)) * 0.5, jnp.bfloat16)
+    ks = vs = None
+    if int8_kv:
+        from exllama_tpu.ops.attention import quantize_kv_rows
+
+        qk, sk = quantize_kv_rows(jnp.swapaxes(kc, 1, 2))
+        qv, sv = quantize_kv_rows(jnp.swapaxes(vc, 1, 2))
+        kc = jnp.swapaxes(qk, 1, 2)
+        vc = jnp.swapaxes(qv, 1, 2)
+        ks = jnp.swapaxes(sk, 1, 2)
+        vs = jnp.swapaxes(sv, 1, 2)
+    return h, q, kc, vc, kn, vn, ks, vs
+
+
+def reference(h, q, kc, vc, kn, vn, past, attend_len, o, ks, vs, mask):
+    attn = attend_xla(
+        q, kc, vc, past, attend_len, input_mask=mask,
+        k_scale=ks, v_scale=vs, new_kv=(kn, vn),
+    )
+    b = h.shape[0]
+    out = q4_matmul(
+        attn.reshape(b, 1, HEADS * D), o, impl="pallas_interpret"
+    )
+    return h + out
+
+
+def check(got, ref, tol=0.03):
+    ref = np.asarray(ref, np.float32)
+    atol = tol * max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=atol)
+
+
+@pytest.mark.parametrize("hkv", [8, 2])     # MHA and GQA (g=4)
+@pytest.mark.parametrize("past", [0, 5, 255])
+def test_fused_matches_reference(hkv, past):
+    o = make_o()
+    h, q, kc, vc, kn, vn, ks, vs = setup(1, hkv, 256, past)
+    p = jnp.int32(past)
+    got = attn_block_o(
+        h, q, kc, vc, p, 256, o, (kn, vn), impl="pallas_interpret"
+    )
+    ref = reference(h, q, kc, vc, kn, vn, p, 256, o, None, None, None)
+    check(got, ref)
+
+
+def test_per_slot_cursors_batch():
+    o = make_o()
+    b = 3
+    h, q, kc, vc, kn, vn, ks, vs = setup(b, 8, 256, 0, seed=5)
+    past = jnp.asarray([0, 7, 133], jnp.int32)
+    got = attn_block_o(
+        h, q, kc, vc, past, 256, o, (kn, vn), impl="pallas_interpret"
+    )
+    ref = reference(h, q, kc, vc, kn, vn, past, 256, o, None, None, None)
+    check(got, ref)
+
+
+def test_int8_kv_cache():
+    o = make_o()
+    h, q, kc, vc, kn, vn, ks, vs = setup(1, 8, 256, 100, int8_kv=True)
+    p = jnp.int32(100)
+    got = attn_block_o(
+        h, q, kc, vc, p, 256, o, (kn, vn),
+        k_scale=ks, v_scale=vs, impl="pallas_interpret",
+    )
+    ref = reference(h, q, kc, vc, kn, vn, p, 256, o, ks, vs, None)
+    check(got, ref)
+
+
+def test_left_pad_mask():
+    o = make_o()
+    b = 2
+    h, q, kc, vc, kn, vn, ks, vs = setup(b, 8, 256, 0, seed=8)
+    past = jnp.asarray([40, 64], jnp.int32)
+    mask = np.ones((b, 256), bool)
+    mask[0, :17] = False    # left padding on row 0
+    mask = jnp.asarray(mask)
+    got = attn_block_o(
+        h, q, kc, vc, past, 256, o, (kn, vn), input_mask=mask,
+        impl="pallas_interpret",
+    )
+    ref = reference(h, q, kc, vc, kn, vn, past, 256, o, None, None, mask)
+    check(got, ref)
+
+
+def test_multi_kv_strips(monkeypatch):
+    """attend_len spanning several KV blocks per head strip."""
+    import exllama_tpu.ops.attn_block as ab
+
+    monkeypatch.setattr(ab, "_pick_bk", lambda al: 128)
+    o = make_o()
+    h, q, kc, vc, kn, vn, ks, vs = setup(1, 8, 512, 300, seed=12)
+    p = jnp.int32(300)
+    got = attn_block_o(
+        h, q, kc, vc, p, 512, o, (kn, vn), impl="pallas_interpret"
+    )
+    ref = reference(h, q, kc, vc, kn, vn, p, 512, o, None, None, None)
+    check(got, ref)
+
+
+def test_applicability_gates():
+    o = make_o()
+    assert attn_o_applicable(o, HIDDEN, HEADS, D, 1, "pallas", True, False)
+    assert not attn_o_applicable(o, HIDDEN, HEADS, D, 4, "pallas", True,
+                                 False)               # prefill
+    assert not attn_o_applicable(o, HIDDEN, HEADS, D, 1, "pallas", False,
+                                 False)               # non-deferred
+    assert not attn_o_applicable(o, HIDDEN, HEADS, D, 1, "xla", True, False)
+    assert not attn_o_applicable(o, HIDDEN, HEADS, D, 1, "pallas", True,
+                                 True)                # o-proj LoRA
+    assert not attn_o_applicable(o, HIDDEN, HEADS, 64, 1, "pallas", True,
+                                 False)               # D=64 → flash-64 path
+    assert not attn_o_applicable(None, HIDDEN, HEADS, D, 1, "pallas", True,
+                                 False)
+
+
+def test_forward_chunk_attn_fuse_equivalence():
+    """End-to-end decode step: attn_fuse on (flash_interpret) vs off (xla
+    oracle attention) must agree."""
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.models.llama import ExLlama
+
+    cfg = ExLlamaConfig()
+    cfg.hidden_size = HIDDEN
+    cfg.intermediate_size = 1152
+    cfg.num_attention_heads = HEADS
+    cfg.num_key_value_heads = HEADS
+    cfg.head_dim = D
+    cfg.num_hidden_layers = 2
+    cfg.vocab_size = 2048
+    cfg.max_seq_len = 128
+    cfg.tuning.matmul_impl = "pallas_interpret"
+    params = make_synthetic_params(cfg, groupsize=128, act_order=False,
+                                   seed=0)
+    ids = (np.arange(10, dtype=np.int32)[None, :] * 13 + 7) % cfg.vocab_size
+
+    outs = {}
+    for fuse in (True, False):
+        cfg.tuning.fuse_attn = fuse
+        cfg.tuning.attn_impl = "flash_interpret" if fuse else "xla"
+        model = ExLlama(cfg, params=params)
+        cache = ExLlamaCache(model)
+        logits = model.forward(ids, cache)
+        tok = np.argmax(np.asarray(logits[:, -1]), -1)[None].astype(np.int32)
+        step = model.forward(tok, cache)
+        outs[fuse] = np.asarray(step, np.float32)
+    ref = outs[False]
+    atol = 0.03 * max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(outs[True], ref, atol=atol)

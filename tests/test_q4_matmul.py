@@ -100,3 +100,25 @@ def test_pallas_a8_close_to_exact(gs):
     )
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 0.015
+
+
+@pytest.mark.parametrize("m", [1, 8, 100])
+@pytest.mark.parametrize("act_order", [False, True])
+def test_norm_fused_matches_explicit(m, act_order):
+    """q4_matmul(norm_w=...) == q4_matmul(rms_norm(x)) on every path the
+    norm can ride (kernel prologue at decode M, up-front elsewhere)."""
+    from exllama_tpu.ops.norms import rms_norm
+
+    k, n = 512, 1024
+    qt, rng = make_qt(k, n, 128, act_order, seed=13)
+    x = jnp.asarray(
+        (rng.normal(size=(m, k)) * 0.5), jnp.bfloat16
+    )
+    nw = jnp.asarray(rng.normal(size=(k,)) * 0.2 + 1.0, jnp.bfloat16)
+    got = q4_matmul(x, qt, impl="pallas_interpret", norm_w=nw, norm_eps=1e-6)
+    ref = q4_matmul(
+        rms_norm(x, nw, 1e-6), qt, impl="pallas_interpret"
+    )
+    ref = np.asarray(ref, np.float32)
+    atol = 0.02 * max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=atol)
