@@ -195,6 +195,25 @@ def _decoder_layer(
             lp.o, hidden, cfg_heads, cfg_head_dim, t, matmul_impl,
             deferred=True, has_lora=lora_ab("o") is not None,
         ):
+            from exllama_tpu.ops.mlp import fused_mlp_applicable
+
+            if mlp_fuse and fused_mlp_applicable(
+                lp.gateup, lp.down, hidden, b * t, matmul_impl,
+                has_lora=any(
+                    lora_ab(n) is not None for n in ("gate", "up", "down")
+                ),
+            ):
+                # the whole layer tail (attention → o-proj → residual →
+                # post-norm → MLP → residual) in ONE kernel
+                from exllama_tpu.ops.attn_block import layer_tail
+
+                h = layer_tail(
+                    h, q, kc, vc, past_len, attend_len, lp.o,
+                    lp.post_norm, lp.gateup, lp.down, eps, (k, v),
+                    input_mask=input_mask, k_scale=ksc, v_scale=vsc,
+                    impl=matmul_impl,
+                )
+                return h, kc, vc, ksc, vsc, k_row, v_row
             # attention + o-projection + residual in ONE kernel
             h = attn_block_o(
                 h, q, kc, vc, past_len, attend_len, lp.o, (k, v),

@@ -1,24 +1,31 @@
-"""Fused decode attention block: flash attention + o-projection + residual
-in ONE Pallas kernel.
+"""Fused decode layer tail: flash attention + o-projection + residual —
+optionally continuing straight through the MLP block — in ONE Pallas kernel.
 
-TPU-native analogue of the reference's q4_attn megakernel
-(exllama_ext/cuda_func/q4_attn.cu:74-204), which fuses the attention block
-to cut launch count. Decode (T=1, deferred KV commit) runs a two-phase grid:
+TPU-native analogue of the reference's q4_attn + q4_mlp megakernels
+(exllama_ext/cuda_func/q4_attn.cu:74-204, q4_mlp.cu:100-199), which fuse
+whole blocks to cut launch count. Decode (T=1, deferred KV commit) runs a
+phased 1-D grid:
 
-  phase C (steps 0..B·Hkv·n_sk-1): per-(batch, kv-head) online-softmax
-      strips over the KV cache — the same math as ops/attention's flash
-      kernel restricted to T=1 deferred decode — with each finished strip's
-      normalized [G, D] head outputs copied into a VMEM scratch holding the
-      flat [B, H·D] attention result.
-  phase D (steps ..+N/bn_o): npair q4 GEMV of that scratch against the
-      o-projection column blocks, the residual stream added in the
-      epilogue.
+  phase C (B·Hkv·n_sk steps): per-(batch, kv-head) online-softmax strips
+      over the KV cache — same math as ops/attention's flash kernel
+      restricted to T=1 deferred decode — each finished strip's normalized
+      [G, D] head outputs parked in a VMEM scratch holding the flat
+      [B, H·D] attention result.
+  phase D (N/bn_o steps): npair q4 GEMV of that scratch against o-proj
+      column blocks, residual added. Without MLP fusion this writes the
+      kernel output; with it, a VMEM scratch h' instead.
+  phase E (N_gu/bn_a steps, MLP only): post-norm of h' (prologue), then
+      gate/up GEMV partials into scratch.
+  boundary + phase F (N_down/bn_f steps): mid = silu(gate)·up, then the
+      down GEMV with the h' residual added in the epilogue → output.
 
-Clamped index maps pin the inactive phase's operands, so KV strips stream
-exactly once and the o weight prefetches during the last attention strip.
-Supports bf16 and int8 KV caches, scalar or per-slot cursors, and the
-left-pad bias; everything else (prefill, non-deferred, odd head dims)
-keeps the separate attend + q4_matmul path.
+Clamped index maps pin every inactive phase's operands, so each weight
+block and KV strip streams exactly once, and the next phase's first block
+prefetches while the current phase computes. Numerics match the separate-
+kernel path operation-for-operation.
+
+Applies on the deferred-commit decode path; prefill, odd head dims, LoRA,
+act-order, and non-1024-multiple hidden sizes keep the separate kernels.
 """
 
 from __future__ import annotations
@@ -33,17 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF, QuantTensor
 from exllama_tpu.ops.attention import NEG_INF, _MASK_VALUE
+from exllama_tpu.ops.mlp import _npair_gemv_partials
 
 _STEP_BYTES_MAX = 12 * 1024 * 1024
 
 
-def _npair_gemv_partials(x, b8, s, z, groupsize):
-    from exllama_tpu.ops.mlp import _npair_gemv_partials as f
-
-    return f(x, b8, s, z, groupsize)
-
-
-def _attn_o_kernel(
+def _layer_tail_kernel(
     past_ref,    # SMEM [B, 1] int32 (scalar-prefetch)
     q_ref,       # [1, 1, R, D] query rows of this (b, kv-head); R = pad(G)
     k_ref,       # [1, 1, bk, D] bf16 | int8
@@ -57,20 +59,40 @@ def _attn_o_kernel(
     oq_ref,      # [K1/4, bn_o/2] int32 npair o-proj block (phase D)
     os_ref,      # [1, K1/gs, bn_o]
     oz_ref,      # [1, K1/gs, bn_o]
-    out_ref,     # [bm, bn_o]
+    # MLP refs (have_mlp only):
+    nw_ref,      # [1, K1] post-attention norm weight
+    guq_ref,     # [K1/4, bn_a/2] gate/up block (phase E)
+    gus_ref,     # [1, K1/gs, bn_a]
+    guz_ref,
+    dq_ref,      # [K2/4, bn_f/2] down block (phase F)
+    ds_ref,      # [1, K2/gs, bn_f]
+    dz_ref,
+    out_ref,     # [bm, bn_o] (attn-only) | [bm, bn_f] (with MLP)
     m_scr,       # [R, 128] f32
     l_scr,       # [R, 128] f32
     acc_scr,     # [R, D] f32
     attn_scr,    # [bm, K1] bf16 flat attention output (head-major)
+    # MLP scratches (have_mlp only):
+    h_scr,       # [bm, K1] bf16 post-attention residual h'
+    xn_scr,      # [bm, K1] bf16 normed h'
+    gu_scr,      # [bm, N_gu] f32
+    mid_scr,     # [bm, K2] bf16
     *,
     g: int,
     d: int,
     hkv: int,
     n_sk: int,
     steps_c: int,
+    steps_d: int,
+    steps_e: int,
+    bn_a: int,
+    inter: int,
+    gu_half_cols: int,
+    eps: float,
     scale: float,
     groupsize: int,
     have_bias: bool,
+    have_mlp: bool,
 ):
     t = pl.program_id(0)
     # phase C decomposition: t = (b * hkv + h) * n_sk + si
@@ -79,6 +101,8 @@ def _attn_o_kernel(
     b_idx = bh // hkv
     h_idx = bh % hkv
     bk = k_ref.shape[2]
+    off_e = steps_c + steps_d
+    off_f = off_e + steps_e
 
     @pl.when((t < steps_c) & (si == 0))
     def _():
@@ -152,8 +176,9 @@ def _attn_o_kernel(
                 pl.ds(b_idx, 1), pl.ds(base + j * d, d)
             ] = rows[j : j + 1, :]
 
-    @pl.when(t >= steps_c)
+    @pl.when((t >= steps_c) & (t < off_e))
     def _():
+        # o-projection + residual: → output (attn-only) or h' scratch (MLP)
         j = t - steps_c
         b8 = pltpu.bitcast(oq_ref[:], jnp.int8)
         s = os_ref[0].astype(jnp.float32)
@@ -161,17 +186,83 @@ def _attn_o_kernel(
         acc_lo, acc_hi = _npair_gemv_partials(
             attn_scr[:], b8, s, z, groupsize
         )
-        bn_o = out_ref.shape[1]
+        bn_o = oq_ref.shape[1] * 2
         base = pl.multiple_of(j * bn_o, bn_o)
         for sub in range(len(acc_lo)):
-            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + PAIR_HALF)
-            hi_c = slice(sub * N_ALIGN + PAIR_HALF, (sub + 1) * N_ALIGN)
             res_lo = h_ref[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)]
             res_hi = h_ref[
                 :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
             ]
-            out_ref[:, lo_c] = res_lo + acc_lo[sub].astype(h_ref.dtype)
-            out_ref[:, hi_c] = res_hi + acc_hi[sub].astype(h_ref.dtype)
+            row_lo = res_lo + acc_lo[sub].astype(h_ref.dtype)
+            row_hi = res_hi + acc_hi[sub].astype(h_ref.dtype)
+            if have_mlp:
+                h_scr[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)] = row_lo
+                h_scr[
+                    :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
+                ] = row_hi
+            else:
+                lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + PAIR_HALF)
+                hi_c = slice(sub * N_ALIGN + PAIR_HALF, (sub + 1) * N_ALIGN)
+                out_ref[:, lo_c] = row_lo
+                out_ref[:, hi_c] = row_hi
+
+    if not have_mlp:
+        return
+
+    @pl.when(t == off_e)
+    def _():
+        # MLP prologue: xn = rms_norm(h')·w
+        xf = h_scr[:].astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
+        xn_scr[:] = xn.astype(xn_scr.dtype)
+
+    @pl.when((t >= off_e) & (t < off_f))
+    def _():
+        j = t - off_e
+        b8 = pltpu.bitcast(guq_ref[:], jnp.int8)
+        s = gus_ref[0].astype(jnp.float32)
+        z = guz_ref[0].astype(jnp.float32)
+        acc_lo, acc_hi = _npair_gemv_partials(
+            xn_scr[:], b8, s, z, groupsize
+        )
+        base = pl.multiple_of(j * bn_a, bn_a)
+        for sub in range(len(acc_lo)):
+            gu_scr[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)] = acc_lo[sub]
+            gu_scr[
+                :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
+            ] = acc_hi[sub]
+
+    @pl.when(t == off_f)
+    def _():
+        # mid = silu(gate)·up with the unfused path's exact cast order
+        g_b = gu_scr[:, :inter].astype(jnp.bfloat16)
+        u_b = gu_scr[:, gu_half_cols : gu_half_cols + inter].astype(
+            jnp.bfloat16
+        )
+        sg = jax.nn.silu(g_b.astype(jnp.float32)).astype(jnp.bfloat16)
+        mid_scr[:] = sg * u_b
+
+    @pl.when(t >= off_f)
+    def _():
+        j = t - off_f
+        b8 = pltpu.bitcast(dq_ref[:], jnp.int8)
+        s = ds_ref[0].astype(jnp.float32)
+        z = dz_ref[0].astype(jnp.float32)
+        acc_lo, acc_hi = _npair_gemv_partials(
+            mid_scr[:], b8, s, z, groupsize
+        )
+        bn_f = dq_ref.shape[1] * 2
+        base = pl.multiple_of(j * bn_f, bn_f)
+        for sub in range(len(acc_lo)):
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + PAIR_HALF)
+            hi_c = slice(sub * N_ALIGN + PAIR_HALF, (sub + 1) * N_ALIGN)
+            res_lo = h_scr[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)]
+            res_hi = h_scr[
+                :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
+            ]
+            out_ref[:, lo_c] = res_lo + acc_lo[sub].astype(h_scr.dtype)
+            out_ref[:, hi_c] = res_hi + acc_hi[sub].astype(h_scr.dtype)
 
 
 def _pick_bk(attend_len: int) -> int:
@@ -181,7 +272,7 @@ def _pick_bk(attend_len: int) -> int:
     return attend_len
 
 
-def _pick_bn_o(n_pad: int, k: int) -> int:
+def _pick_bn(n_pad: int, k: int) -> int:
     best = N_ALIGN
     for bn in range(N_ALIGN, n_pad + 1, N_ALIGN):
         if n_pad % bn == 0 and k * bn // 2 <= _STEP_BYTES_MAX:
@@ -218,10 +309,11 @@ def attn_o_applicable(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "attend_len", "g", "groupsize", "bn_o", "interpret"
+        "attend_len", "g", "groupsize", "bn_o", "bn_a", "bn_f", "inter",
+        "eps", "interpret",
     ),
 )
-def _attn_o_call(
+def _layer_tail_call(
     qr,          # [B, Hkv, R, D] post-rope query rows (R = pad(G))
     k_cache,     # [B, Hkv, S_max, D]
     v_cache,
@@ -233,11 +325,18 @@ def _attn_o_call(
     v_new,
     h2,          # [bm, K1] bf16 residual (B rows padded to bm)
     oq, os_, oz,
+    nw=None,     # [1, K1] post-norm weight (MLP fusion)
+    guq=None, gus=None, guz=None,
+    dq=None, ds=None, dz=None,
     *,
     attend_len: int,
     g: int,
     groupsize: int,
     bn_o: int,
+    bn_a: int = 0,
+    bn_f: int = 0,
+    inter: int = 0,
+    eps: float = 0.0,
     interpret: bool,
 ):
     b, hkv, r, d = qr.shape
@@ -248,7 +347,21 @@ def _attn_o_call(
     n_sk = attend_len // bk
     steps_c = b * hkv * n_sk
     steps_d = n_pad // bn_o
-    last_d = steps_d - 1
+    have_mlp = nw is not None
+    if have_mlp:
+        n_gu = gus.shape[1]
+        k2 = inter
+        gsz2 = k2 // groupsize
+        n_down = ds.shape[1]
+        steps_e = n_gu // bn_a
+        steps_f = n_down // bn_f
+        gu_half_cols = n_gu // 2
+    else:
+        n_gu = k2 = gsz2 = n_down = 0
+        steps_e = steps_f = gu_half_cols = 0
+    off_e = steps_c + steps_d
+    off_f = off_e + steps_e
+    total = off_f + steps_f if have_mlp else off_e
 
     def cphase(t):
         # clamped phase-C operand coordinates
@@ -257,10 +370,11 @@ def _attn_o_call(
         return bh // hkv, bh % hkv, tc % n_sk
 
     kernel = functools.partial(
-        _attn_o_kernel,
-        g=g, d=d, hkv=hkv, n_sk=n_sk, steps_c=steps_c,
-        scale=1.0 / (d ** 0.5), groupsize=groupsize,
-        have_bias=bias is not None,
+        _layer_tail_kernel,
+        g=g, d=d, hkv=hkv, n_sk=n_sk, steps_c=steps_c, steps_d=steps_d,
+        steps_e=steps_e, bn_a=bn_a, inter=inter, gu_half_cols=gu_half_cols,
+        eps=eps, scale=1.0 / (d ** 0.5), groupsize=groupsize,
+        have_bias=bias is not None, have_mlp=have_mlp,
     )
 
     in_specs = [
@@ -268,10 +382,12 @@ def _attn_o_call(
                      lambda t, *_: (*cphase(t)[:2], 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, d),
-                     lambda t, *_: (cphase(t)[0], cphase(t)[1], cphase(t)[2], 0),
+                     lambda t, *_: (cphase(t)[0], cphase(t)[1],
+                                    cphase(t)[2], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, d),
-                     lambda t, *_: (cphase(t)[0], cphase(t)[1], cphase(t)[2], 0),
+                     lambda t, *_: (cphase(t)[0], cphase(t)[1],
+                                    cphase(t)[2], 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qr, k_cache, v_cache]
@@ -296,19 +412,83 @@ def _attn_o_call(
             memory_space=pltpu.VMEM,
         ))
         args.append(nr)
+
+    def dphase(t):
+        return jnp.clip(t - steps_c, 0, steps_d - 1)
+
     in_specs += [
-        pl.BlockSpec((bm, k1), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, k1), lambda t, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((k1 // 4, bn_o // 2),
-                     lambda t, *_: (0, jnp.maximum(t - steps_c, 0)),
+                     lambda t, *_: (0, dphase(t)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, gsz, bn_o),
-                     lambda t, *_: (0, 0, jnp.maximum(t - steps_c, 0)),
+                     lambda t, *_: (0, 0, dphase(t)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, gsz, bn_o),
-                     lambda t, *_: (0, 0, jnp.maximum(t - steps_c, 0)),
+                     lambda t, *_: (0, 0, dphase(t)),
                      memory_space=pltpu.VMEM),
     ]
     args += [h2, oq, os_.reshape(1, gsz, n_pad), oz.reshape(1, gsz, n_pad)]
+
+    if have_mlp:
+        def ephase(t):
+            return jnp.clip(t - off_e, 0, steps_e - 1)
+
+        def fphase(t):
+            return jnp.maximum(t - off_f, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, k1), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1 // 4, bn_a // 2),
+                         lambda t, *_: (0, ephase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz, bn_a),
+                         lambda t, *_: (0, 0, ephase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz, bn_a),
+                         lambda t, *_: (0, 0, ephase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2 // 4, bn_f // 2),
+                         lambda t, *_: (0, fphase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz2, bn_f),
+                         lambda t, *_: (0, 0, fphase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz2, bn_f),
+                         lambda t, *_: (0, 0, fphase(t)),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [
+            nw, guq, gus.reshape(1, gsz, n_gu), guz.reshape(1, gsz, n_gu),
+            dq, ds.reshape(1, gsz2, n_down), dz.reshape(1, gsz2, n_down),
+        ]
+        out_bn = bn_f
+        out_n = n_down
+
+        def ophase(t):
+            return jnp.maximum(t - off_f, 0)
+    else:
+        out_bn = bn_o
+        out_n = n_pad
+
+        def ophase(t):
+            return jnp.maximum(t - steps_c, 0)
+
+    scratch = [
+        pltpu.VMEM((r, 128), jnp.float32),
+        pltpu.VMEM((r, 128), jnp.float32),
+        pltpu.VMEM((r, d), jnp.float32),
+        pltpu.VMEM((bm, k1), h2.dtype),
+    ]
+    if have_mlp:
+        scratch += [
+            pltpu.VMEM((bm, k1), h2.dtype),
+            pltpu.VMEM((bm, k1), h2.dtype),
+            pltpu.VMEM((bm, n_gu), jnp.float32),
+            pltpu.VMEM((bm, k2), jnp.bfloat16),
+        ]
 
     def kern(past_ref, q_ref, k_ref, v_ref, *rest):
         rest = list(rest)
@@ -321,34 +501,73 @@ def _attn_o_call(
         kn_ref = rest.pop(0)
         vn_ref = rest.pop(0)
         h_ref, oq_ref, os_ref, oz_ref = rest[:4]
-        out_ref, m, l, acc, attn = rest[4:]
+        rest = rest[4:]
+        if have_mlp:
+            (nw_ref, guq_ref, gus_ref, guz_ref,
+             dq_ref, ds_ref, dz_ref) = rest[:7]
+            rest = rest[7:]
+        else:
+            nw_ref = guq_ref = gus_ref = guz_ref = None
+            dq_ref = ds_ref = dz_ref = None
+        out_ref, m, l, acc, attn = rest[:5]
+        rest = rest[5:]
+        if have_mlp:
+            h_scr, xn_scr, gu_scr, mid_scr = rest
+        else:
+            h_scr = xn_scr = gu_scr = mid_scr = None
         return kernel(past_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                       bias_ref, kn_ref, vn_ref, h_ref, oq_ref, os_ref,
-                      oz_ref, out_ref, m, l, acc, attn)
+                      oz_ref, nw_ref, guq_ref, gus_ref, guz_ref,
+                      dq_ref, ds_ref, dz_ref, out_ref, m, l, acc, attn,
+                      h_scr, xn_scr, gu_scr, mid_scr)
 
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(steps_c + steps_d,),
+            grid=(total,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (bm, bn_o), lambda t, *_: (0, jnp.maximum(t - steps_c, 0)),
+                (bm, out_bn), lambda t, *_: (0, ophase(t)),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((r, 128), jnp.float32),
-                pltpu.VMEM((r, 128), jnp.float32),
-                pltpu.VMEM((r, d), jnp.float32),
-                pltpu.VMEM((bm, k1), h2.dtype),
-            ],
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((bm, n_pad), h2.dtype),
+        out_shape=jax.ShapeDtypeStruct((bm, out_n), h2.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )(past_b, *args)
+
+
+def _prep(h, q, k_cache, new_kv, past_len, input_mask, k_scale, v_scale):
+    b, t, hh, d = q.shape
+    assert t == 1
+    hkv = k_cache.shape[1]
+    g = hh // hkv
+    hidden = h.shape[-1]
+    qr = q.reshape(b, 1, hkv, g, d).transpose(0, 2, 1, 3, 4)
+    qr = qr.reshape(b, hkv, g, d)
+    if g < 8:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 8 - g), (0, 0)))
+    past_b = jnp.broadcast_to(
+        past_len.astype(jnp.int32).reshape(-1, 1), (b, 1)
+    )
+    bias = None
+    if input_mask is not None:
+        bias = jnp.where(
+            input_mask, jnp.float32(0), jnp.float32(NEG_INF)
+        )[:, None, :]
+    ks4 = None if k_scale is None else k_scale[:, :, None, :]
+    vs4 = None if v_scale is None else v_scale[:, :, None, :]
+    k_new = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)
+    v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
+    h2 = h.reshape(b, hidden)
+    bm = 8 if b <= 8 else (16 if b <= 16 else 32)
+    if b != bm:
+        h2 = jnp.pad(h2, ((0, bm - b), (0, 0)))
+    return qr, past_b, bias, ks4, vs4, k_new, v_new, h2, g, b, hidden
 
 
 def attn_block_o(
@@ -367,40 +586,55 @@ def attn_block_o(
 ) -> jax.Array:
     """h + o_proj(flash_attend(q, cache ⊕ new_kv)) in one kernel. Caller
     must have checked ``attn_o_applicable``."""
-    b, t, hh, d = q.shape
-    assert t == 1
-    hkv = k_cache.shape[1]
-    g = hh // hkv
-    hidden = h.shape[-1]
-
-    qr = q.reshape(b, 1, hkv, g, d).transpose(0, 2, 1, 3, 4)
-    qr = qr.reshape(b, hkv, g, d)
-    if g < 8:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 8 - g), (0, 0)))
-
-    past_b = jnp.broadcast_to(
-        past_len.astype(jnp.int32).reshape(-1, 1), (b, 1)
-    )
-    bias = None
-    if input_mask is not None:
-        bias = jnp.where(
-            input_mask, jnp.float32(0), jnp.float32(NEG_INF)
-        )[:, None, :]
-    ks4 = None if k_scale is None else k_scale[:, :, None, :]
-    vs4 = None if v_scale is None else v_scale[:, :, None, :]
-    k_new = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)
-    v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
-
-    h2 = h.reshape(b, hidden)
-    bm = 8 if b <= 8 else (16 if b <= 16 else 32)
-    if b != bm:
-        h2 = jnp.pad(h2, ((0, bm - b), (0, 0)))
-
-    bn_o = _pick_bn_o(o.padded_out_features, o.in_features)
-    out = _attn_o_call(
+    (qr, past_b, bias, ks4, vs4, k_new, v_new, h2, g, b,
+     hidden) = _prep(h, q, k_cache, new_kv, past_len, input_mask,
+                     k_scale, v_scale)
+    bn_o = _pick_bn(o.padded_out_features, o.in_features)
+    out = _layer_tail_call(
         qr, k_cache, v_cache, past_b, bias, ks4, vs4, k_new, v_new,
         h2, o.qweight, o.scales, o.zscale,
         attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
+        interpret=impl.endswith("_interpret"),
+    )
+    return out[:b].reshape(b, 1, hidden)
+
+
+def layer_tail(
+    h: jax.Array,          # [B, 1, hidden] residual stream (pre-attn-output)
+    q: jax.Array,          # [B, 1, H, D] post-rope queries
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    past_len: jax.Array,
+    attend_len: int,
+    o: QuantTensor,
+    post_norm: jax.Array,  # [hidden]
+    gateup: QuantTensor,
+    down: QuantTensor,
+    eps: float,
+    new_kv: tuple,
+    input_mask: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    impl: str = "pallas",
+) -> jax.Array:
+    """The whole decode layer after rope — attention, o-proj, residual,
+    post-norm, MLP, residual — in ONE kernel. Caller must have checked
+    ``attn_o_applicable`` AND ``fused_mlp_applicable``."""
+    (qr, past_b, bias, ks4, vs4, k_new, v_new, h2, g, b,
+     hidden) = _prep(h, q, k_cache, new_kv, past_len, input_mask,
+                     k_scale, v_scale)
+    bn_o = _pick_bn(o.padded_out_features, o.in_features)
+    inter = down.in_features
+    bn_a = _pick_bn(gateup.padded_out_features, hidden)
+    bn_f = _pick_bn(down.padded_out_features, inter)
+    out = _layer_tail_call(
+        qr, k_cache, v_cache, past_b, bias, ks4, vs4, k_new, v_new,
+        h2, o.qweight, o.scales, o.zscale,
+        post_norm.reshape(1, hidden).astype(h.dtype),
+        gateup.qweight, gateup.scales, gateup.zscale,
+        down.qweight, down.scales, down.zscale,
+        attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
+        bn_a=bn_a, bn_f=bn_f, inter=inter, eps=float(eps),
         interpret=impl.endswith("_interpret"),
     )
     return out[:b].reshape(b, 1, hidden)

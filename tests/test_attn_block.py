@@ -185,3 +185,63 @@ def test_forward_chunk_attn_fuse_equivalence():
     ref = outs[False]
     atol = 0.03 * max(1.0, float(np.abs(ref).max()))
     np.testing.assert_allclose(outs[True], ref, atol=atol)
+
+
+def make_mlp(gs=128, seed=31, inter=1152):
+    rng = np.random.default_rng(seed)
+
+    def qt(k, n, sd):
+        r = np.random.default_rng(sd)
+        w = r.normal(size=(k, n)).astype(np.float32) * 0.1
+        t = gptq.quantize_matrix(w, gs, act_order=False, rng=r)
+        return gptq.load_quant_tensor(
+            t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
+        )
+
+    gate = qt(HIDDEN, inter, seed)
+    up = qt(HIDDEN, inter, seed + 1)
+    down = qt(inter, HIDDEN, seed + 2)
+    return gptq.concat_quant_tensors([gate, up]), down
+
+
+@pytest.mark.parametrize("hkv", [8, 2])
+def test_layer_tail_matches_separate(hkv):
+    """attn+o+residual+norm+MLP megakernel == the separate-kernel chain."""
+    from exllama_tpu.ops.attn_block import layer_tail
+    from exllama_tpu.ops.mlp import q4_mlp
+
+    o = make_o()
+    gateup, down = make_mlp()
+    h, q, kc, vc, kn, vn, ks, vs = setup(1, hkv, 256, 77, seed=19)
+    rng = np.random.default_rng(23)
+    nw = jnp.asarray(rng.normal(size=(HIDDEN,)) * 0.2 + 1.0, jnp.bfloat16)
+    p = jnp.int32(77)
+    got = layer_tail(
+        h, q, kc, vc, p, 256, o, nw, gateup, down, 1e-6, (kn, vn),
+        impl="pallas_interpret",
+    )
+    h_mid = reference(h, q, kc, vc, kn, vn, p, 256, o, None, None, None)
+    ref = q4_mlp(h_mid, nw, gateup, down, 1e-6, impl="pallas_interpret")
+    check(got, ref)
+
+
+def test_layer_tail_per_slot_int8():
+    """Megakernel with per-slot cursors + int8 KV cache."""
+    from exllama_tpu.ops.attn_block import layer_tail
+    from exllama_tpu.ops.mlp import q4_mlp
+
+    o = make_o()
+    gateup, down = make_mlp(seed=41)
+    b = 2
+    h, q, kc, vc, kn, vn, ks, vs = setup(b, 8, 256, 0, seed=29,
+                                         int8_kv=True)
+    rng = np.random.default_rng(37)
+    nw = jnp.asarray(rng.normal(size=(HIDDEN,)) * 0.2 + 1.0, jnp.bfloat16)
+    past = jnp.asarray([13, 201], jnp.int32)
+    got = layer_tail(
+        h, q, kc, vc, past, 256, o, nw, gateup, down, 1e-6, (kn, vn),
+        k_scale=ks, v_scale=vs, impl="pallas_interpret",
+    )
+    h_mid = reference(h, q, kc, vc, kn, vn, past, 256, o, ks, vs, None)
+    ref = q4_mlp(h_mid, nw, gateup, down, 1e-6, impl="pallas_interpret")
+    check(got, ref)
