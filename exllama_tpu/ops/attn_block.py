@@ -93,6 +93,7 @@ def _layer_tail_kernel(
     groupsize: int,
     have_bias: bool,
     have_mlp: bool,
+    a8: bool = False,
 ):
     t = pl.program_id(0)
     # phase C decomposition: t = (b * hkv + h) * n_sk + si
@@ -184,7 +185,7 @@ def _layer_tail_kernel(
         s = os_ref[0].astype(jnp.float32)
         z = oz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            attn_scr[:], b8, s, z, groupsize
+            attn_scr[:], b8, s, z, groupsize, a8=a8
         )
         bn_o = oq_ref.shape[1] * 2
         base = pl.multiple_of(j * bn_o, bn_o)
@@ -224,7 +225,7 @@ def _layer_tail_kernel(
         s = gus_ref[0].astype(jnp.float32)
         z = guz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            xn_scr[:], b8, s, z, groupsize
+            xn_scr[:], b8, s, z, groupsize, a8=a8
         )
         base = pl.multiple_of(j * bn_a, bn_a)
         for sub in range(len(acc_lo)):
@@ -250,7 +251,7 @@ def _layer_tail_kernel(
         s = ds_ref[0].astype(jnp.float32)
         z = dz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            mid_scr[:], b8, s, z, groupsize
+            mid_scr[:], b8, s, z, groupsize, a8=a8
         )
         bn_f = dq_ref.shape[1] * 2
         base = pl.multiple_of(j * bn_f, bn_f)
@@ -295,7 +296,8 @@ def attn_o_applicable(
     o's padded output."""
     if o is None or has_lora or not deferred or t != 1:
         return False
-    if matmul_impl not in ("pallas", "pallas_interpret"):
+    if matmul_impl not in ("pallas", "pallas_interpret",
+                           "pallas_a8", "pallas_a8_interpret"):
         return False
     if o.layout != "npair" or o.x_map is not None:
         return False
@@ -310,7 +312,7 @@ def attn_o_applicable(
     jax.jit,
     static_argnames=(
         "attend_len", "g", "groupsize", "bn_o", "bn_a", "bn_f", "inter",
-        "eps", "interpret",
+        "eps", "interpret", "a8",
     ),
 )
 def _layer_tail_call(
@@ -338,6 +340,7 @@ def _layer_tail_call(
     inter: int = 0,
     eps: float = 0.0,
     interpret: bool,
+    a8: bool = False,
 ):
     b, hkv, r, d = qr.shape
     bm, k1 = h2.shape
@@ -374,7 +377,7 @@ def _layer_tail_call(
         g=g, d=d, hkv=hkv, n_sk=n_sk, steps_c=steps_c, steps_d=steps_d,
         steps_e=steps_e, bn_a=bn_a, inter=inter, gu_half_cols=gu_half_cols,
         eps=eps, scale=1.0 / (d ** 0.5), groupsize=groupsize,
-        have_bias=bias is not None, have_mlp=have_mlp,
+        have_bias=bias is not None, have_mlp=have_mlp, a8=a8,
     )
 
     in_specs = [
@@ -595,6 +598,7 @@ def attn_block_o(
         h2, o.qweight, o.scales, o.zscale,
         attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
         interpret=impl.endswith("_interpret"),
+        a8=impl.startswith("pallas_a8"),
     )
     return out[:b].reshape(b, 1, hidden)
 
@@ -636,5 +640,6 @@ def layer_tail(
         attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
         bn_a=bn_a, bn_f=bn_f, inter=inter, eps=float(eps),
         interpret=impl.endswith("_interpret"),
+        a8=impl.startswith("pallas_a8"),
     )
     return out[:b].reshape(b, 1, hidden)

@@ -44,10 +44,12 @@ _STEP_BYTES_MAX = 12 * 1024 * 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
 
 
-def _npair_gemv_partials(x, b8, s, z, groupsize):
+def _npair_gemv_partials(x, b8, s, z, groupsize, a8=False):
     """One npair GEMV block: x [bm, bk] · packed [bk, bn/2] → list of
     (lo, hi) f32 [bm, PAIR_HALF] partial pairs, one per N_ALIGN sub-block.
-    Same math as ops/quant._q4_gemv_kernel_npair."""
+    Same math as ops/quant._q4_gemv_kernel_npair; with ``a8`` the W4A8
+    turbo math of _q4_gemv_kernel_npair_a8 (per-(row, group) int8-quantized
+    activations feeding int8 MXU dots, exact int32 affine recovery)."""
     gs = groupsize
     bk = x.shape[1]
     half = PAIR_HALF
@@ -56,6 +58,33 @@ def _npair_gemv_partials(x, b8, s, z, groupsize):
     acc_hi = [jnp.zeros((x.shape[0], half), jnp.float32) for _ in range(nsub)]
     for g in range(bk // gs):
         blk = b8[g * gs : (g + 1) * gs, :]
+        if a8:
+            hv8 = blk & (-16)
+            xg = x[:, g * gs : (g + 1) * gs].astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xg), axis=1, keepdims=True)
+            sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+            xq = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
+            d1i = jax.lax.dot_general(
+                xq, blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            d2i = jax.lax.dot_general(
+                xq, hv8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            xqs = xq.astype(jnp.int32).sum(axis=1, keepdims=True)
+            lo = (d1i - d2i).astype(jnp.float32) * sx      # Σ x·q_lo
+            hi = ((d2i >> 4) + 8 * xqs).astype(jnp.float32) * sx
+            xs = xg.sum(axis=1, keepdims=True)
+            for sub in range(nsub):
+                sl = slice(sub * half, (sub + 1) * half)
+                lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+                hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+                acc_lo[sub] += lo[:, sl] * s[g : g + 1, lo_c] \
+                    - xs * z[g : g + 1, lo_c]
+                acc_hi[sub] += hi[:, sl] * s[g : g + 1, hi_c] \
+                    - xs * z[g : g + 1, hi_c]
+            continue
         bval = blk.astype(jnp.bfloat16)           # 16 q_hi - 128 + q_lo
         hv = (blk & (-16)).astype(jnp.bfloat16)   # 16 q_hi - 128
         xg = x[:, g * gs : (g + 1) * gs]
@@ -94,6 +123,7 @@ def _q4_mlp_kernel(
     inter: int,
     gu_half_cols: int,   # padded_n(inter): column offset of `up` in gu_scr
     eps: float,
+    a8: bool = False,
 ):
     t = pl.program_id(1)
 
@@ -111,7 +141,9 @@ def _q4_mlp_kernel(
         b8 = pltpu.bitcast(guq_ref[:], jnp.int8)
         s = gus_ref[0].astype(jnp.float32)
         z = guz_ref[0].astype(jnp.float32)
-        acc_lo, acc_hi = _npair_gemv_partials(xn_scr[:], b8, s, z, groupsize)
+        acc_lo, acc_hi = _npair_gemv_partials(
+            xn_scr[:], b8, s, z, groupsize, a8=a8
+        )
         base = pl.multiple_of(t * bn_a, bn_a)
         for sub in range(len(acc_lo)):
             gu_scr[:, pl.ds(base + sub * N_ALIGN, PAIR_HALF)] = acc_lo[sub]
@@ -136,7 +168,9 @@ def _q4_mlp_kernel(
         b8 = pltpu.bitcast(dq_ref[:], jnp.int8)
         s = ds_ref[0].astype(jnp.float32)
         z = dz_ref[0].astype(jnp.float32)
-        acc_lo, acc_hi = _npair_gemv_partials(mid_scr[:], b8, s, z, groupsize)
+        acc_lo, acc_hi = _npair_gemv_partials(
+            mid_scr[:], b8, s, z, groupsize, a8=a8
+        )
         bn_b = out_ref.shape[1]
         base = pl.multiple_of(j * bn_b, bn_b)
         for sub in range(len(acc_lo)):
@@ -182,7 +216,8 @@ def fused_mlp_applicable(
     33B's 6656 falls back), M small enough for the GEMV regime."""
     if gateup is None or down is None or has_lora:
         return False
-    if matmul_impl not in ("pallas", "pallas_interpret"):
+    if matmul_impl not in ("pallas", "pallas_interpret",
+                           "pallas_a8", "pallas_a8_interpret"):
         return False
     if m > GEMV_MAX_M:
         return False
@@ -206,7 +241,7 @@ def fused_mlp_applicable(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "groupsize", "bn_a", "bn_b", "inter", "eps", "interpret"
+        "groupsize", "bn_a", "bn_b", "inter", "eps", "interpret", "a8"
     ),
 )
 def _q4_mlp_call(
@@ -221,6 +256,7 @@ def _q4_mlp_call(
     inter: int,
     eps: float,
     interpret: bool,
+    a8: bool = False,
 ):
     m_pad, k1 = h2.shape
     n_gu = gus.shape[1]
@@ -240,6 +276,7 @@ def _q4_mlp_call(
         inter=inter,
         gu_half_cols=gu_half_cols,
         eps=eps,
+        a8=a8,
     )
     last_a = steps_a - 1
     flops = 2 * m_pad * (k1 * n_gu + k2 * n_out)
@@ -325,5 +362,6 @@ def q4_mlp(
         groupsize=gateup.groupsize,
         bn_a=bn_a, bn_b=bn_b, inter=inter, eps=float(eps),
         interpret=impl.endswith("_interpret"),
+        a8=impl.startswith("pallas_a8"),
     )
     return out[:m].reshape(*lead, k1)

@@ -270,6 +270,8 @@ def _q4_gemv_kernel_npair_a8(
     block_k: int,
     out_dtype,
     have_xmap: bool = False,
+    have_norm: bool = False,
+    eps: float = 0.0,
 ):
     """W4A8 decode kernel (opt-in ``matmul_impl="pallas_a8"``): activations
     quantize to int8 per (row, group) inside the kernel and the nibble dots
@@ -279,21 +281,35 @@ def _q4_gemv_kernel_npair_a8(
     (d2 is a multiple of 16), then one f32 rescale per (group, output).
     Activation quantization adds ~0.4% relative noise on top of the 4-bit
     weight error — a turbo mode, not the parity path."""
+    if have_norm:
+        assert not have_xmap
+        nw_ref, rest = rest[0], rest[1:]
     if have_xmap:
         sb_ref, im_ref, out_ref, acc_ref, x_scr = rest
     else:
-        out_ref, acc_ref = rest
+        out_ref, acc_ref = rest[0], rest[1]
+        xn_scr = rest[2] if have_norm else None
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if have_norm:
+        @pl.when((pl.program_id(1) == 0) & (k_idx == 0))
+        def _():
+            xf = x_ref[:].astype(jnp.float32)
+            ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
+            xn_scr[:] = xn.astype(xn_scr.dtype)
+
     if have_xmap:
         _permute_prologue(
             x_ref, sb_ref, im_ref, x_scr, block_k, x_ref.shape[0]
         )
         xsrc = x_scr
+    elif have_norm:
+        xsrc = xn_scr
     else:
         xsrc = x_ref
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)       # [bk, bn/2]
@@ -761,7 +777,8 @@ def _q4_matmul_pallas_call(
         assert layout == "npair" and kernel_kind in ("gemv", "gemv_a8")
         assert block_k == k, "in-kernel permute needs whole-K blocks"
     if have_norm:
-        assert layout == "npair" and kernel_kind == "gemv" and not have_xmap
+        assert layout == "npair" and not have_xmap
+        assert kernel_kind in ("gemv", "gemv_a8")
         assert block_k == k, "fused norm needs whole-K blocks"
     if layout == "npair":
         kern = {
@@ -777,10 +794,9 @@ def _q4_matmul_pallas_call(
             kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype,
             have_xmap=have_xmap,
         )
-        if kernel_kind == "gemv":
-            kernel = functools.partial(
-                kernel, have_norm=have_norm, eps=norm_eps
-            )
+        kernel = functools.partial(
+            kernel, have_norm=have_norm, eps=norm_eps
+        )
     else:
         kernel = functools.partial(
             kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype
@@ -892,8 +908,8 @@ def _q4_matmul_pallas(
     if norm_w is not None:
         # fused norm prologue needs whole-K gemv blocks without act-order;
         # otherwise normalize here (before any x_map gather) and proceed
-        if kind == "gemv" and qt.layout == "npair" and qt.x_map is None \
-                and bk_pref == k:
+        if kind in ("gemv", "gemv_a8") and qt.layout == "npair" \
+                and qt.x_map is None and bk_pref == k:
             nw = norm_w.reshape(1, k).astype(x2.dtype)
         else:
             from exllama_tpu.ops.norms import rms_norm
@@ -986,7 +1002,7 @@ def q4_matmul(
         impl = "pallas" if _is_tpu() else "xla"
     if norm_w is not None:
         assert lora is None, "fused norm + lora unsupported; norm first"
-        if impl not in ("pallas", "pallas_interpret"):
+        if not impl.startswith("pallas"):
             from exllama_tpu.ops.norms import rms_norm
 
             x = rms_norm(x, norm_w, norm_eps)

@@ -245,3 +245,29 @@ def test_layer_tail_per_slot_int8():
     h_mid = reference(h, q, kc, vc, kn, vn, past, 256, o, ks, vs, None)
     ref = q4_mlp(h_mid, nw, gateup, down, 1e-6, impl="pallas_interpret")
     check(got, ref)
+
+
+def test_layer_tail_a8():
+    """Turbo megakernel: GEMV phases use W4A8; attention stays bf16 exact."""
+    from exllama_tpu.ops.attn_block import layer_tail
+    from exllama_tpu.ops.mlp import q4_mlp
+
+    o = make_o()
+    gateup, down = make_mlp(seed=61)
+    h, q, kc, vc, kn, vn, ks, vs = setup(1, 8, 256, 90, seed=62)
+    rng = np.random.default_rng(63)
+    nw = jnp.asarray(rng.normal(size=(HIDDEN,)) * 0.2 + 1.0, jnp.bfloat16)
+    p = jnp.int32(90)
+    got = layer_tail(
+        h, q, kc, vc, p, 256, o, nw, gateup, down, 1e-6, (kn, vn),
+        impl="pallas_a8_interpret",
+    )
+    # same flash attention as the kernel so the check isolates the a8 GEMVs
+    from exllama_tpu.ops.attention import attend_flash
+
+    attn = attend_flash(q, kc, vc, p, 256, new_kv=(kn, vn), interpret=True)
+    h_mid = h + q4_matmul(
+        attn.reshape(1, 1, HEADS * D), o, impl="pallas_a8_interpret"
+    )
+    ref = q4_mlp(h_mid, nw, gateup, down, 1e-6, impl="pallas_a8_interpret")
+    check(got, ref)

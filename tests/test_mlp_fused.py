@@ -120,7 +120,7 @@ def test_applicability_gates():
     assert app()
     assert not app(has_lora=True)            # MLP LoRA → separate path
     assert not app(matmul_impl="xla")        # oracle path stays pure XLA
-    assert not app(matmul_impl="pallas_a8")  # turbo keeps its own kernels
+    assert app(matmul_impl="pallas_a8")      # turbo rides the fused kernel
     assert not app(m=64)                     # prefill keeps deqw kernels
     assert not app(hidden=HIDDEN + 512)      # residual/padding mismatch
     assert not fused_mlp_applicable(
@@ -168,3 +168,21 @@ def test_forward_chunk_fuse_flag_equivalence():
         ref = outs[False][i]
         atol = 0.02 * max(1.0, float(np.abs(ref).max()))
         np.testing.assert_allclose(outs[True][i], ref, atol=atol)
+
+
+def test_fused_a8_matches_unfused_a8():
+    """Turbo (W4A8) fused MLP == turbo separate-kernel path: both quantize
+    activations identically per (row, group), so they agree tightly."""
+    gateup, down = make_mlp(128, seed=51)
+    rng = np.random.default_rng(52)
+    h = jnp.asarray(rng.normal(size=(1, 1, HIDDEN)) * 0.5, jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(HIDDEN,)) * 0.2 + 1.0, jnp.bfloat16)
+    assert fused_mlp_applicable(
+        gateup, down, HIDDEN, 1, "pallas_a8", has_lora=False
+    )
+    got = q4_mlp(h, nw, gateup, down, 1e-6, impl="pallas_a8_interpret")
+    ref = unfused_reference(h, nw, gateup, down, 1e-6, "pallas_a8_interpret")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0, atol=2e-2,
+    )

@@ -122,3 +122,18 @@ def test_norm_fused_matches_explicit(m, act_order):
     ref = np.asarray(ref, np.float32)
     atol = 0.02 * max(1.0, float(np.abs(ref).max()))
     np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=atol)
+
+
+def test_norm_fused_a8():
+    from exllama_tpu.ops.norms import rms_norm
+
+    k, n = 512, 1024
+    qt, rng = make_qt(k, n, 128, act_order=False, seed=17)
+    x = jnp.asarray(rng.normal(size=(1, k)) * 0.5, jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(k,)) * 0.2 + 1.0, jnp.bfloat16)
+    got = q4_matmul(x, qt, impl="pallas_a8_interpret", norm_w=nw,
+                    norm_eps=1e-6)
+    ref = q4_matmul(rms_norm(x, nw, 1e-6), qt, impl="pallas_a8_interpret")
+    ref = np.asarray(ref, np.float32)
+    atol = 0.02 * max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=atol)
