@@ -55,7 +55,7 @@ class TuningParams:
     # down GEMV → residual) into one Pallas kernel (ops/mlp.q4_mlp) — the
     # TPU analogue of the reference's q4_mlp megakernel (q4_mlp.cu:100-199).
     # Applies only where fused_mlp_applicable() holds (npair, no act-order,
-    # no MLP LoRA, hidden % 1024 == 0, decode-sized M); otherwise the
+    # no MLP LoRA, decode-sized M); otherwise the
     # separate-kernel path runs regardless of this flag.
     fuse_mlp: bool = True
     # Fuse decode attention + o-projection + residual into one Pallas kernel

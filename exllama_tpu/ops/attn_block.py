@@ -25,7 +25,10 @@ prefetches while the current phase computes. Numerics match the separate-
 kernel path operation-for-operation.
 
 Applies on the deferred-commit decode path; prefill, odd head dims, LoRA,
-act-order, and non-1024-multiple hidden sizes keep the separate kernels.
+and act-order keep the separate kernels. Hidden sizes that are not a
+multiple of N_ALIGN (33B's 6656) run with the residual stream zero-padded
+to the npair width — padded scale columns dequant to exact 0, so padding
+stays 0 end-to-end and the wrappers slice it off.
 """
 
 from __future__ import annotations
@@ -212,8 +215,10 @@ def _layer_tail_kernel(
 
     @pl.when(t == off_e)
     def _():
-        # MLP prologue: xn = rms_norm(h')·w
-        xf = h_scr[:].astype(jnp.float32)
+        # MLP prologue: xn = rms_norm(h')·w over the TRUE hidden columns
+        # (h' carries zero-padded columns when hidden % N_ALIGN != 0)
+        k1w = nw_ref.shape[1]
+        xf = h_scr[:, :k1w].astype(jnp.float32)
         ms = jnp.mean(xf * xf, axis=1, keepdims=True)
         xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
         xn_scr[:] = xn.astype(xn_scr.dtype)
@@ -293,7 +298,8 @@ def attn_o_applicable(
 ) -> bool:
     """Fused attention-block gate: decode only (T=1, deferred commit), npair
     o-proj without act-order or LoRA, lane-legal head dim, residual width ==
-    o's padded output."""
+    o's true output (non-N_ALIGN hidden sizes like 33B's 6656 ride the
+    zero-padded columns — padded scale columns dequant to exact 0)."""
     if o is None or has_lora or not deferred or t != 1:
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
@@ -301,7 +307,7 @@ def attn_o_applicable(
         return False
     if o.layout != "npair" or o.x_map is not None:
         return False
-    if o.padded_out_features != hidden or hidden % N_ALIGN != 0:
+    if o.out_features != hidden or hidden % 128 != 0:
         return False
     if head_dim % 128 != 0:
         return False
@@ -343,9 +349,11 @@ def _layer_tail_call(
     a8: bool = False,
 ):
     b, hkv, r, d = qr.shape
-    bm, k1 = h2.shape
+    bm, k1p = h2.shape           # k1p = residual width (padded_n(hidden))
+    ko = oq.shape[0] * 4         # o-proj K = heads·head_dim (attn width)
+    k1 = nw.shape[1] if nw is not None else ko   # true hidden (norm/gu K)
     n_pad = os_.shape[1]
-    gsz = k1 // groupsize
+    gsz = ko // groupsize
     bk = _pick_bk(attend_len)
     n_sk = attend_len // bk
     steps_c = b * hkv * n_sk
@@ -354,13 +362,14 @@ def _layer_tail_call(
     if have_mlp:
         n_gu = gus.shape[1]
         k2 = inter
+        gsz1 = k1 // groupsize
         gsz2 = k2 // groupsize
         n_down = ds.shape[1]
         steps_e = n_gu // bn_a
         steps_f = n_down // bn_f
         gu_half_cols = n_gu // 2
     else:
-        n_gu = k2 = gsz2 = n_down = 0
+        n_gu = k2 = gsz1 = gsz2 = n_down = 0
         steps_e = steps_f = gu_half_cols = 0
     off_e = steps_c + steps_d
     off_f = off_e + steps_e
@@ -420,9 +429,9 @@ def _layer_tail_call(
         return jnp.clip(t - steps_c, 0, steps_d - 1)
 
     in_specs += [
-        pl.BlockSpec((bm, k1), lambda t, *_: (0, 0),
+        pl.BlockSpec((bm, k1p), lambda t, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k1 // 4, bn_o // 2),
+        pl.BlockSpec((ko // 4, bn_o // 2),
                      lambda t, *_: (0, dphase(t)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, gsz, bn_o),
@@ -447,10 +456,10 @@ def _layer_tail_call(
             pl.BlockSpec((k1 // 4, bn_a // 2),
                          lambda t, *_: (0, ephase(t)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsz, bn_a),
+            pl.BlockSpec((1, gsz1, bn_a),
                          lambda t, *_: (0, 0, ephase(t)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsz, bn_a),
+            pl.BlockSpec((1, gsz1, bn_a),
                          lambda t, *_: (0, 0, ephase(t)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k2 // 4, bn_f // 2),
@@ -464,7 +473,7 @@ def _layer_tail_call(
                          memory_space=pltpu.VMEM),
         ]
         args += [
-            nw, guq, gus.reshape(1, gsz, n_gu), guz.reshape(1, gsz, n_gu),
+            nw, guq, gus.reshape(1, gsz1, n_gu), guz.reshape(1, gsz1, n_gu),
             dq, ds.reshape(1, gsz2, n_down), dz.reshape(1, gsz2, n_down),
         ]
         out_bn = bn_f
@@ -483,12 +492,12 @@ def _layer_tail_call(
         pltpu.VMEM((r, 128), jnp.float32),
         pltpu.VMEM((r, 128), jnp.float32),
         pltpu.VMEM((r, d), jnp.float32),
-        pltpu.VMEM((bm, k1), h2.dtype),
+        pltpu.VMEM((bm, ko), h2.dtype),      # attn: heads·head_dim wide
     ]
     if have_mlp:
         scratch += [
-            pltpu.VMEM((bm, k1), h2.dtype),
-            pltpu.VMEM((bm, k1), h2.dtype),
+            pltpu.VMEM((bm, k1p), h2.dtype),  # h': residual width
+            pltpu.VMEM((bm, k1), h2.dtype),   # xn: true-hidden wide
             pltpu.VMEM((bm, n_gu), jnp.float32),
             pltpu.VMEM((bm, k2), jnp.bfloat16),
         ]
@@ -544,7 +553,8 @@ def _layer_tail_call(
     )(past_b, *args)
 
 
-def _prep(h, q, k_cache, new_kv, past_len, input_mask, k_scale, v_scale):
+def _prep(h, q, k_cache, new_kv, past_len, input_mask, k_scale, v_scale,
+          pad_cols: int = 0):
     b, t, hh, d = q.shape
     assert t == 1
     hkv = k_cache.shape[1]
@@ -568,8 +578,9 @@ def _prep(h, q, k_cache, new_kv, past_len, input_mask, k_scale, v_scale):
     v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
     h2 = h.reshape(b, hidden)
     bm = 8 if b <= 8 else (16 if b <= 16 else 32)
-    if b != bm:
-        h2 = jnp.pad(h2, ((0, bm - b), (0, 0)))
+    k1p = max(pad_cols, hidden)
+    if b != bm or k1p != hidden:
+        h2 = jnp.pad(h2, ((0, bm - b), (0, k1p - hidden)))
     return qr, past_b, bias, ks4, vs4, k_new, v_new, h2, g, b, hidden
 
 
@@ -591,7 +602,7 @@ def attn_block_o(
     must have checked ``attn_o_applicable``."""
     (qr, past_b, bias, ks4, vs4, k_new, v_new, h2, g, b,
      hidden) = _prep(h, q, k_cache, new_kv, past_len, input_mask,
-                     k_scale, v_scale)
+                     k_scale, v_scale, pad_cols=o.padded_out_features)
     bn_o = _pick_bn(o.padded_out_features, o.in_features)
     out = _layer_tail_call(
         qr, k_cache, v_cache, past_b, bias, ks4, vs4, k_new, v_new,
@@ -600,7 +611,7 @@ def attn_block_o(
         interpret=impl.endswith("_interpret"),
         a8=impl.startswith("pallas_a8"),
     )
-    return out[:b].reshape(b, 1, hidden)
+    return out[:b, :hidden].reshape(b, 1, hidden)
 
 
 def layer_tail(
@@ -626,7 +637,7 @@ def layer_tail(
     ``attn_o_applicable`` AND ``fused_mlp_applicable``."""
     (qr, past_b, bias, ks4, vs4, k_new, v_new, h2, g, b,
      hidden) = _prep(h, q, k_cache, new_kv, past_len, input_mask,
-                     k_scale, v_scale)
+                     k_scale, v_scale, pad_cols=down.padded_out_features)
     bn_o = _pick_bn(o.padded_out_features, o.in_features)
     inter = down.in_features
     bn_a = _pick_bn(gateup.padded_out_features, hidden)
@@ -642,4 +653,4 @@ def layer_tail(
         interpret=impl.endswith("_interpret"),
         a8=impl.startswith("pallas_a8"),
     )
-    return out[:b].reshape(b, 1, hidden)
+    return out[:b, :hidden].reshape(b, 1, hidden)

@@ -128,9 +128,13 @@ def _q4_mlp_kernel(
     t = pl.program_id(1)
 
     # ---- phase A prologue: rms_norm(h) · w, once per M block
+    # (h may carry zero-padded columns beyond the true hidden width when
+    # hidden % N_ALIGN != 0 — e.g. 33B's 6656 → 7168; the norm reads only
+    # the true columns, whose width is nw's)
     @pl.when(t == 0)
     def _():
-        xf = h_ref[:].astype(jnp.float32)
+        k1w = nw_ref.shape[1]
+        xf = h_ref[:, :k1w].astype(jnp.float32)
         ms = jnp.mean(xf * xf, axis=1, keepdims=True)
         xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
         xn_scr[:] = xn.astype(xn_scr.dtype)
@@ -212,8 +216,10 @@ def fused_mlp_applicable(
     has_lora: bool,
 ) -> bool:
     """Decode-shape MLP fusion gate: npair weights, no act-order, no LoRA on
-    the MLP, residual width == down's padded output (hidden % 1024 == 0 —
-    33B's 6656 falls back), M small enough for the GEMV regime."""
+    the MLP, residual width == down's true output (non-N_ALIGN hidden sizes
+    like 33B's 6656 ride the zero-padded columns — padded scale columns
+    dequant to exact 0 so the pad stays 0), M small enough for the GEMV
+    regime."""
     if gateup is None or down is None or has_lora:
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
@@ -225,16 +231,17 @@ def fused_mlp_applicable(
         return False
     if gateup.x_map is not None or down.x_map is not None:
         return False
-    if down.padded_out_features != hidden or hidden % N_ALIGN != 0:
+    if down.out_features != hidden or hidden % 128 != 0:
         return False
     if down.in_features % 128 != 0 or gateup.groupsize != down.groupsize:
         return False
     n_gu = gateup.padded_out_features
+    n_out = down.padded_out_features
     bn_a = _pick_bn(n_gu, hidden)
-    bn_b = _pick_bn(hidden, down.in_features)
+    bn_b = _pick_bn(n_out, down.in_features)
     bm = 8 if m <= 8 else (16 if m <= 16 else 32)
     return _fused_mlp_vmem(
-        hidden, down.in_features, bn_a, bn_b, n_gu, bm, gateup.groupsize
+        n_out, down.in_features, bn_a, bn_b, n_gu, bm, gateup.groupsize
     ) <= _VMEM_BUDGET
 
 
@@ -258,7 +265,8 @@ def _q4_mlp_call(
     interpret: bool,
     a8: bool = False,
 ):
-    m_pad, k1 = h2.shape
+    m_pad, k1p = h2.shape        # k1p = residual width (padded to n_out)
+    k1 = nw.shape[1]             # true hidden = gate/up weight K
     n_gu = gus.shape[1]
     k2 = inter
     n_out = ds.shape[1]
@@ -289,7 +297,7 @@ def _q4_mlp_call(
         kernel,
         grid=(m_pad // bm, steps_a + steps_b),
         in_specs=[
-            pl.BlockSpec((bm, k1), lambda i, t: (i, 0),
+            pl.BlockSpec((bm, k1p), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k1), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -318,7 +326,7 @@ def _q4_mlp_call(
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_out), h2.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bm, k1), h2.dtype),
+            pltpu.VMEM((bm, k1), h2.dtype),      # xn: true-hidden wide
             pltpu.VMEM((bm, n_gu), jnp.float32),
             pltpu.VMEM((bm, k2), jnp.bfloat16),
         ],
@@ -350,11 +358,12 @@ def q4_mlp(
         m *= d
     h2 = h.reshape(m, k1)
     bm = 8 if m <= 8 else (16 if m <= 16 else 32)
-    if m != bm:
-        h2 = jnp.pad(h2, ((0, bm - m), (0, 0)))
+    k1p = down.padded_out_features   # residual width inside the kernel
+    if m != bm or k1p != k1:
+        h2 = jnp.pad(h2, ((0, bm - m), (0, k1p - k1)))
     inter = down.in_features
     bn_a = _pick_bn(gateup.padded_out_features, k1)
-    bn_b = _pick_bn(down.padded_out_features, inter)
+    bn_b = _pick_bn(k1p, inter)
     out = _q4_mlp_call(
         h2, norm_w.reshape(1, k1).astype(h.dtype),
         gateup.qweight, gateup.scales, gateup.zscale,
@@ -364,4 +373,4 @@ def q4_mlp(
         interpret=impl.endswith("_interpret"),
         a8=impl.startswith("pallas_a8"),
     )
-    return out[:m].reshape(*lead, k1)
+    return out[:m, :k1].reshape(*lead, k1)

@@ -271,3 +271,58 @@ def test_layer_tail_a8():
     )
     ref = q4_mlp(h_mid, nw, gateup, down, 1e-6, impl="pallas_a8_interpret")
     check(got, ref)
+
+
+def test_non_aligned_hidden():
+    """hidden % N_ALIGN != 0 (33B's 6656 shape class): the kernel runs with
+    the residual zero-padded to the npair width and the result is exact."""
+    from exllama_tpu.ops.attn_block import attn_o_applicable, layer_tail
+    from exllama_tpu.ops.mlp import fused_mlp_applicable, q4_mlp
+
+    hidden, heads, inter = 1536, 12, 1152
+    rng = np.random.default_rng(71)
+
+    def qt(k, n, seed):
+        r = np.random.default_rng(seed)
+        w = r.normal(size=(k, n)).astype(np.float32) * 0.08
+        t = gptq.quantize_matrix(w, 128, act_order=False, rng=r)
+        return gptq.load_quant_tensor(
+            t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
+        )
+
+    o = qt(hidden, hidden, 72)
+    gate, up = qt(hidden, inter, 73), qt(hidden, inter, 74)
+    down = qt(inter, hidden, 75)
+    gateup = gptq.concat_quant_tensors([gate, up])
+    assert o.padded_out_features != hidden           # truly non-aligned
+    assert attn_o_applicable(o, hidden, heads, D, 1, "pallas", True, False)
+    assert fused_mlp_applicable(gateup, down, hidden, 1, "pallas", False)
+
+    b, hkv, s_max, past = 1, 4, 256, 90
+    h = jnp.asarray(rng.normal(size=(b, 1, hidden)) * 0.5, jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(b, 1, heads, D)) * 0.5, jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(b, hkv, s_max, D)) * 0.5, jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(b, hkv, s_max, D)) * 0.5, jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(b, 1, hkv, D)) * 0.5, jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(b, 1, hkv, D)) * 0.5, jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(hidden,)) * 0.2 + 1.0, jnp.bfloat16)
+    p = jnp.int32(past)
+
+    # attn-only fused block
+    got = attn_block_o(
+        h, q, kc, vc, p, 256, o, (kn, vn), impl="pallas_interpret"
+    )
+    attn = attend_xla(q, kc, vc, p, 256, new_kv=(kn, vn))
+    h_mid = h + q4_matmul(
+        attn.reshape(b, 1, heads * D), o, impl="pallas_interpret"
+    )
+    check(got, h_mid)
+
+    # whole layer tail (attn + o + norm + MLP) in one kernel
+    got2 = layer_tail(
+        h, q, kc, vc, p, 256, o, nw, gateup, down, 1e-6, (kn, vn),
+        impl="pallas_interpret",
+    )
+    ref2 = q4_mlp(h_mid, nw, gateup, down, 1e-6, impl="pallas_interpret")
+    assert got2.shape == (b, 1, hidden)
+    check(got2, ref2)

@@ -186,3 +186,27 @@ def test_fused_a8_matches_unfused_a8():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=0, atol=2e-2,
     )
+
+
+def test_non_aligned_hidden_mlp():
+    """hidden % N_ALIGN != 0 (33B's 6656 shape class): fused MLP pads the
+    residual to the npair width internally and matches the unfused path."""
+    hidden, inter = 1536, 1152
+    gate = make_qt(hidden, inter, 128, 81)
+    up = make_qt(hidden, inter, 128, 82)
+    down = make_qt(inter, hidden, 128, 83)
+    gateup = gptq.concat_quant_tensors([gate, up])
+    assert down.padded_out_features != hidden        # truly non-aligned
+    assert fused_mlp_applicable(
+        gateup, down, hidden, 1, "pallas_interpret", has_lora=False
+    )
+    rng = np.random.default_rng(84)
+    h = jnp.asarray(rng.normal(size=(1, 1, hidden)) * 0.5, jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(hidden,)) * 0.2 + 1.0, jnp.bfloat16)
+    got = q4_mlp(h, nw, gateup, down, 1e-6, impl="pallas_interpret")
+    ref = unfused_reference(h, nw, gateup, down, 1e-6, "pallas_interpret")
+    assert got.shape == ref.shape == (1, 1, hidden)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0, atol=2e-2,
+    )
