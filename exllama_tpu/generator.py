@@ -101,7 +101,8 @@ def _beam_init_filter(
 @functools.partial(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
-                     "matmul_impl", "n_out", "sustain", "decay"),
+                     "matmul_impl", "n_out", "sustain", "decay",
+                     "attn_impl", "mlp_fuse", "attn_fuse"),
     donate_argnames=("kv",),
 )
 def _beam_step(
@@ -125,6 +126,9 @@ def _beam_step(
     n_out: int,
     sustain: int,
     decay: int,
+    attn_impl: str = "auto",
+    mlp_fuse: bool = True,
+    attn_fuse: bool = True,
 ):
     """One beam-search lookahead step entirely on device: batched forward
     over all beams → rep penalty → sampler filtering → joint top-k over
@@ -141,7 +145,8 @@ def _beam_step(
         params, kv, toks, past, None, lora,
         attend_len=attend_len, last_token_only=True, preprocess_only=False,
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
-        matmul_impl=matmul_impl,
+        matmul_impl=matmul_impl, attn_impl=attn_impl,
+        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
     )
     lg = logits[:, -1, :].astype(jnp.float32) + bias[None, :]
     lg = apply_rep_penalty(lg, hist, hist_len, penalty_max, sustain, decay)
@@ -507,12 +512,20 @@ class ExLlamaGenerator:
     def _beam_bias(self):
         """[V] additive bias for beam scoring: BOS ban + disallowed tokens
         (same hard bans as the single-token path, reference
-        generator.py:352, 101-102)."""
+        generator.py:352, 101-102). Constant across a search, so the device
+        array is cached — one upload per disallowed-set change, not one per
+        lookahead step."""
+        key = tuple(self.disallowed_tokens or ())
+        cached = getattr(self, "_beam_bias_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         bias = np.zeros((self.model.config.vocab_size,), np.float32)
         bias[self.tokenizer.bos_token_id] -= 10000.0
         if self.disallowed_tokens:
             bias[np.asarray(self.disallowed_tokens)] = -np.inf
-        return jnp.asarray(bias)
+        dev = jnp.asarray(bias)
+        self._beam_bias_cache = (key, dev)
+        return dev
 
     def _beam_hist(self, n_rows):
         """Per-beam token history (committed + lookahead) for the
@@ -627,6 +640,9 @@ class ExLlamaGenerator:
                     n_out=n_beams,
                     sustain=s.token_repetition_penalty_sustain,
                     decay=s.token_repetition_penalty_decay,
+                    attn_impl=self.model._attn_impl(),
+                    mlp_fuse=cfg.tuning.fuse_mlp,
+                    attn_fuse=cfg.tuning.fuse_attn,
                 )
                 self._beam_cache.state = new_state
                 self._beam_cache.current_seq_len = past + 1

@@ -193,7 +193,7 @@ def _decoder_layer(
 
         if attn_fuse and attn_impl.startswith("flash") and attn_o_applicable(
             lp.o, hidden, cfg_heads, cfg_head_dim, t, matmul_impl,
-            deferred=True, has_lora=lora_ab("o") is not None,
+            deferred=True, has_lora=lora_ab("o") is not None, batch=b,
         ):
             from exllama_tpu.ops.mlp import fused_mlp_applicable
 
@@ -308,6 +308,18 @@ def forward_chunk(
     unrolled over the per-layer params tuple (see module doc).
     """
     b, t = tokens.shape
+    if attn_impl == "auto":
+        # Resolve here (trace time) so the fused-layer gates below see the
+        # concrete impl — callers that don't thread model._attn_impl()
+        # (engine, beam, speculative) still get the megakernel path.
+        from exllama_tpu.ops.attention import flash_supported_head_dim
+
+        attn_impl = (
+            "flash"
+            if jax.default_backend() == "tpu"
+            and flash_supported_head_dim(head_dim)
+            else "xla"
+        )
     h = jnp.take(params.embed, tokens, axis=0)  # [B, T, hidden]
     # past_len may be scalar or [B] (per-slot cursors, continuous batching);
     # rope tables are sliced once per chunk, not per layer
@@ -361,6 +373,10 @@ def forward_chunk(
             kv.k, kv.v,
             jnp.stack(k_rows), jnp.stack(v_rows), past_len,
             kv.k_scale, kv.v_scale,
+            # follow the matmul impl so interpret mode is consistent (CPU
+            # tests drive the commit kernel instead of the xla fallback)
+            impl=("pallas" if matmul_impl.startswith("pallas") else "auto"),
+            interpret=matmul_impl.endswith("_interpret"),
         )
         new_kv = KVCacheState(k=ks, v=vs, k_scale=kss, v_scale=vss)
     else:

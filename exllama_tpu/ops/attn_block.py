@@ -43,9 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF, QuantTensor
 from exllama_tpu.ops.attention import NEG_INF, _MASK_VALUE
-from exllama_tpu.ops.mlp import _npair_gemv_partials
-
-_STEP_BYTES_MAX = 12 * 1024 * 1024
+from exllama_tpu.ops.mlp import (
+    GEMV_MAX_M,
+    _npair_gemv_partials,
+    _pick_bn,
+)
 
 
 def _layer_tail_kernel(
@@ -278,14 +280,6 @@ def _pick_bk(attend_len: int) -> int:
     return attend_len
 
 
-def _pick_bn(n_pad: int, k: int) -> int:
-    best = N_ALIGN
-    for bn in range(N_ALIGN, n_pad + 1, N_ALIGN):
-        if n_pad % bn == 0 and k * bn // 2 <= _STEP_BYTES_MAX:
-            best = bn
-    return best
-
-
 def attn_o_applicable(
     o: "QuantTensor | None",
     hidden: int,
@@ -295,12 +289,16 @@ def attn_o_applicable(
     matmul_impl: str,
     deferred: bool,
     has_lora: bool,
+    batch: int = 1,
 ) -> bool:
-    """Fused attention-block gate: decode only (T=1, deferred commit), npair
-    o-proj without act-order or LoRA, lane-legal head dim, residual width ==
-    o's true output (non-N_ALIGN hidden sizes like 33B's 6656 ride the
+    """Fused attention-block gate: decode only (T=1, deferred commit), batch
+    within the GEMV regime (the kernel pads rows to bm ≤ 32), npair o-proj
+    without act-order or LoRA, lane-legal head dim, residual width == o's
+    true output (non-N_ALIGN hidden sizes like 33B's 6656 ride the
     zero-padded columns — padded scale columns dequant to exact 0)."""
     if o is None or has_lora or not deferred or t != 1:
+        return False
+    if batch > GEMV_MAX_M:
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
                            "pallas_a8", "pallas_a8_interpret"):

@@ -69,7 +69,8 @@ class Request:
     on_token: Optional[Callable] = None     # streaming callback(req, tok)
     on_text: Optional[Callable] = None      # streaming callback(req, text)
     text: str = ""                          # released (post-holding) text
-    _decoded: str = ""                      # full decode of new_tokens
+    _decoded: str = ""                      # decode of the detok window
+    _detok_base: int = 0                    # window start in new_tokens
     _held: str = ""                         # held-back possible stop prefix
 
     @property
@@ -126,7 +127,8 @@ def _split_held(combined: str, stops: tuple) -> tuple[str, str, int]:
 @functools.partial(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
-                     "matmul_impl", "sustain", "decay"),
+                     "matmul_impl", "sustain", "decay", "attn_impl",
+                     "mlp_fuse", "attn_fuse"),
     donate_argnames=("kv",),
 )
 def _engine_step(
@@ -155,12 +157,16 @@ def _engine_step(
     matmul_impl: str,
     sustain: int,
     decay: int,
+    attn_impl: str = "auto",
+    mlp_fuse: bool = True,
+    attn_fuse: bool = True,
 ):
     logits, kv = forward_chunk(
         params, kv, tokens, pos, None, lora,
         attend_len=attend_len, last_token_only=True, preprocess_only=False,
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
-        matmul_impl=matmul_impl,
+        matmul_impl=matmul_impl, attn_impl=attn_impl,
+        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
     )
     lg = logits[:, -1, :].astype(jnp.float32)
 
@@ -195,7 +201,8 @@ def _engine_step(
 @functools.partial(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
-                     "matmul_impl", "sustain", "decay"),
+                     "matmul_impl", "sustain", "decay", "attn_impl",
+                     "mlp_fuse", "attn_fuse"),
     donate_argnames=("kv",),
 )
 def _engine_spec_step(
@@ -222,6 +229,9 @@ def _engine_spec_step(
     matmul_impl: str,
     sustain: int,
     decay: int,
+    attn_impl: str = "auto",
+    mlp_fuse: bool = True,
+    attn_fuse: bool = True,
 ):
     """Speculative (draft-and-verify) engine step: one forward over K+1
     tokens per slot, target-distribution samples at every position,
@@ -239,7 +249,8 @@ def _engine_spec_step(
         params, kv, tokens, pos, None, lora,
         attend_len=attend_len, last_token_only=False, preprocess_only=False,
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
-        matmul_impl=matmul_impl,
+        matmul_impl=matmul_impl, attn_impl=attn_impl,
+        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
     )
     lg = logits.astype(jnp.float32)                     # [B, K+1, V]
 
@@ -573,14 +584,26 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------- stream/detok
 
+    # Incremental-detok window: re-decode only the last ≤64 output tokens
+    # per step (token/text joins never reach further back than a few
+    # tokens), rebasing to the last 16 when the window fills — O(n) total
+    # instead of the O(n²) of re-decoding the full output every token.
+    _DETOK_WINDOW = 64
+    _DETOK_KEEP = 16
+
     def _stream_text(self, req: Request, finished: bool) -> bool:
         """Incremental detokenize + stop-string holding. Returns True if a
         stop string completed (request must finish)."""
         if self.tokenizer is None:
             return False
-        decoded = self.tokenizer.decode(req.output_ids)
+        ids = req.output_ids
+        tail = ids[req._detok_base:]
+        decoded = self.tokenizer.decode(tail)
         new_text = decoded[len(req._decoded):]
         req._decoded = decoded
+        if len(tail) > self._DETOK_WINDOW:
+            req._detok_base = len(ids) - self._DETOK_KEEP
+            req._decoded = self.tokenizer.decode(ids[req._detok_base:])
         combined = req._held + new_text
         if not req.stop_strings:
             release, req._held, match = combined, "", -1
@@ -661,6 +684,9 @@ class ContinuousBatchingEngine:
             matmul_impl=self.model._matmul_impl(),
             sustain=self.rep_sustain,
             decay=self.rep_decay,
+            attn_impl=self.model._attn_impl(),
+            mlp_fuse=self.model.config.tuning.fuse_mlp,
+            attn_fuse=self.model.config.tuning.fuse_attn,
         )
         self.cache.state = new_kv
         tokens = np.asarray(tokens)
@@ -751,6 +777,9 @@ class ContinuousBatchingEngine:
                 matmul_impl=self.model._matmul_impl(),
                 sustain=self.rep_sustain,
                 decay=self.rep_decay,
+                attn_impl=self.model._attn_impl(),
+                mlp_fuse=self.model.config.tuning.fuse_mlp,
+                attn_fuse=self.model.config.tuning.fuse_attn,
             )
         )
         self.cache.state = new_kv

@@ -129,6 +129,15 @@ class WsProtocol:
                 await ws.send(self.reply(action, request_id))
 
             else:  # streamInfer and the reference's default route
+                if "text" not in req:
+                    # unknown action without a prompt (e.g. a typo'd
+                    # action name): protocol-level error reply instead of
+                    # a KeyError that kills the connection
+                    await ws.send(self.reply(
+                        action, request_id,
+                        error=f"unknown action {action!r} (no 'text')",
+                    ))
+                    continue
                 self.stop_requested = False
                 gen.begin_stream(req["text"], self.stop_conditions(req),
                                  max_new, self.make_settings(req))

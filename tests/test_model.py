@@ -250,3 +250,47 @@ def test_head_mode_argmax_matches_logits_argmax():
             jnp.int32(cache.current_seq_len), None, None)
         assert tok.shape == (1, 1) and tok.dtype == jnp.int32
         assert int(tok[0, 0]) == ref, (quant_head, int(tok[0, 0]), ref)
+
+
+def test_auto_attn_impl_engages_fused_layer_tail(monkeypatch):
+    """Regression: attn_impl='auto' (every caller that doesn't thread
+    model._attn_impl() — engine, beam, speculative, bench) must resolve to
+    'flash' at trace time so the fused layer-tail megakernel engages; the
+    gate used to compare the literal string 'auto' and silently fall back
+    to the separate kernels."""
+    import exllama_tpu.models.llama as L
+    import exllama_tpu.ops.attn_block as AB
+    from exllama_tpu.models.llama import forward_chunk
+
+    cfg = tiny_config()
+    cfg.num_attention_heads = 2
+    cfg.num_key_value_heads = 2
+    cfg.head_dim = 128          # lane-legal: attn_o_applicable requires it
+    cfg.hidden_size = 256
+    cfg.tuning.matmul_impl = "pallas_interpret"
+    model = make_model(cfg)
+    cache = ExLlamaCache(model)
+    ids = np.arange(6, dtype=np.int32)[None, :]
+    model.forward(ids, cache, preprocess_only=True)
+
+    calls = []
+    real = AB.layer_tail
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(AB, "layer_tail", spy)
+    # 'auto' resolves via the backend; pretend TPU (kernels stay interpret
+    # via matmul_impl so this runs on the CPU test backend)
+    monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
+
+    out, _ = forward_chunk(
+        model.params, cache.state, jnp.asarray([[5]], jnp.int32),
+        jnp.int32(cache.current_seq_len), None, None,
+        attend_len=16, last_token_only=True, preprocess_only=False,
+        heads=2, kv_heads=2, head_dim=128, eps=cfg.rms_norm_eps,
+        matmul_impl="pallas_interpret",
+    )
+    assert len(calls) == cfg.num_hidden_layers
+    assert np.all(np.isfinite(np.asarray(out)))
