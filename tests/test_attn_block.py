@@ -148,6 +148,10 @@ def test_applicability_gates():
                                  False)               # D=64 → flash-64 path
     assert not attn_o_applicable(None, HIDDEN, HEADS, D, 1, "pallas", True,
                                  False)
+    assert attn_o_applicable(o, HIDDEN, HEADS, D, 1, "pallas", True, False,
+                             batch=32)                # GEMV regime edge
+    assert not attn_o_applicable(o, HIDDEN, HEADS, D, 1, "pallas", True,
+                                 False, batch=33)     # kernel pads bm<=32
 
 
 def test_forward_chunk_attn_fuse_equivalence():
