@@ -63,6 +63,14 @@ class TuningParams:
     # megakernel (q4_attn.cu:74-204). Applies on the deferred-commit decode
     # path when attn_o_applicable() holds; falls back otherwise.
     fuse_attn: bool = True
+    # Fuse the ENTIRE decode layer into one Pallas kernel: input-norm +
+    # fused-qkv GEMV + rope ride ahead of the attention/o-proj/MLP phases
+    # (ops/attn_block.layer_step), removing the remaining per-layer launch
+    # + glue between the qkv projection and the layer tail. Requires
+    # fuse_projections, fuse_attn, and fuse_mlp paths to all be applicable.
+    # Default off until validated on real TPU hardware (interpret-mode
+    # numerics match the separate-kernel path exactly).
+    fuse_qkv: bool = False
     # Decode-time attention length bucketing: round the attended KV length up
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).

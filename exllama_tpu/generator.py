@@ -102,7 +102,7 @@ def _beam_init_filter(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "n_out", "sustain", "decay",
-                     "attn_impl", "mlp_fuse", "attn_fuse"),
+                     "attn_impl", "mlp_fuse", "attn_fuse", "qkv_fuse"),
     donate_argnames=("kv",),
 )
 def _beam_step(
@@ -129,6 +129,7 @@ def _beam_step(
     attn_impl: str = "auto",
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
+    qkv_fuse: bool = False,
 ):
     """One beam-search lookahead step entirely on device: batched forward
     over all beams → rep penalty → sampler filtering → joint top-k over
@@ -146,7 +147,7 @@ def _beam_step(
         attend_len=attend_len, last_token_only=True, preprocess_only=False,
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
         matmul_impl=matmul_impl, attn_impl=attn_impl,
-        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
+        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse, qkv_fuse=qkv_fuse,
     )
     lg = logits[:, -1, :].astype(jnp.float32) + bias[None, :]
     lg = apply_rep_penalty(lg, hist, hist_len, penalty_max, sustain, decay)

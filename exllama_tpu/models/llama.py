@@ -128,6 +128,7 @@ def _decoder_layer(
     defer_kv: bool = False,
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
+    qkv_fuse: bool = False,
 ):
     b, t, hidden = h.shape
 
@@ -153,6 +154,43 @@ def _decoder_layer(
     nq = cfg_heads * cfg_head_dim
     nkv = cfg_kv_heads * cfg_head_dim
     qkv_lora = any(lora_ab(n) is not None for n in ("q", "k", "v"))
+
+    # Whole-layer megakernel: input-norm + qkv GEMV + rope + attention +
+    # o-proj + MLP in ONE kernel (deferred-commit decode only).
+    if defer_kv and qkv_fuse and attn_fuse and mlp_fuse \
+            and attn_impl.startswith("flash"):
+        from exllama_tpu.ops.attn_block import (
+            attn_o_applicable, layer_step, layer_step_applicable,
+        )
+        from exllama_tpu.ops.mlp import fused_mlp_applicable
+
+        any_lora = lora is not None and any(
+            lora_ab(n) is not None
+            for n in ("q", "k", "v", "o", "gate", "up", "down")
+        )
+        if (
+            layer_step_applicable(
+                lp.qkv, lp.o, hidden, cfg_heads, cfg_head_dim,
+                matmul_impl, any_lora,
+            )
+            and attn_o_applicable(
+                lp.o, hidden, cfg_heads, cfg_head_dim, t, matmul_impl,
+                deferred=True, has_lora=False, batch=b,
+            )
+            and fused_mlp_applicable(
+                lp.gateup, lp.down, hidden, b * t, matmul_impl,
+                has_lora=False,
+            )
+        ):
+            h, k_row, v_row = layer_step(
+                h, lp.qkv, lp.input_norm, rope_sin, rope_cos, kc, vc,
+                past_len, attend_len, lp.o, lp.post_norm, lp.gateup,
+                lp.down, eps, cfg_heads, cfg_kv_heads, cfg_head_dim,
+                input_mask=input_mask, k_scale=ksc, v_scale=vsc,
+                impl=matmul_impl,
+            )
+            return h, kc, vc, ksc, vsc, k_row, v_row
+
     if lp.qkv is not None and not qkv_lora:
         # input norm rides along in the GEMV kernel prologue (decode) or
         # is applied inside q4_matmul (prefill/fallback paths)
@@ -275,6 +313,7 @@ def _decoder_layer(
         "head_mode",
         "mlp_fuse",
         "attn_fuse",
+        "qkv_fuse",
     ),
     donate_argnames=("kv",),
 )
@@ -298,6 +337,7 @@ def forward_chunk(
     head_mode: str = "logits",
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
+    qkv_fuse: bool = False,
 ):
     """One forward chunk over all layers. Returns (logits|None, new KV).
 
@@ -340,6 +380,7 @@ def forward_chunk(
         attn_impl=attn_impl,
         mlp_fuse=mlp_fuse,
         attn_fuse=attn_fuse,
+        qkv_fuse=qkv_fuse,
     )
 
     quantized_kv = kv.k_scale is not None
@@ -539,6 +580,7 @@ class ExLlama:
                 attn_impl=self._attn_impl(),
                 mlp_fuse=self.config.tuning.fuse_mlp,
                 attn_fuse=self.config.tuning.fuse_attn,
+                qkv_fuse=self.config.tuning.fuse_qkv,
             )
             cache.state = new_state
             cache.current_seq_len += chunk

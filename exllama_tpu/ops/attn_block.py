@@ -53,17 +53,25 @@ from exllama_tpu.ops.mlp import (
 def _layer_tail_kernel(
     past_ref,    # SMEM [B, 1] int32 (scalar-prefetch)
     q_ref,       # [1, 1, R, D] query rows of this (b, kv-head); R = pad(G)
+                 # (None with have_qkv — q comes from qkv_scr instead)
     k_ref,       # [1, 1, bk, D] bf16 | int8
     v_ref,       # [1, 1, bk, D]
     ks_ref,      # [1, 1, 1, bk] f32 per-row K scales (int8 KV) or None
     vs_ref,      # [1, 1, 1, bk] f32
     bias_ref,    # [1, 1, bk] f32 left-pad bias or None
-    kn_ref,      # [1, 1, 1, D] in-flight K row (deferred commit)
-    vn_ref,      # [1, 1, 1, D]
+    kn_ref,      # [1, 1, 1, D] in-flight K row (deferred commit;
+    vn_ref,      # [1, 1, 1, D]  None with have_qkv — read from qkv_scr)
     h_ref,       # [bm, K1] bf16 residual stream (whole)
     oq_ref,      # [K1/4, bn_o/2] int32 npair o-proj block (phase D)
     os_ref,      # [1, K1/gs, bn_o]
     oz_ref,      # [1, K1/gs, bn_o]
+    # qkv refs (have_qkv only — phase B):
+    iw_ref,      # [1, K1] input (pre-attention) norm weight
+    qkvq_ref,    # [K1/4, bn_b/2] int32 npair fused-qkv block
+    qkvs_ref,    # [1, K1/gs, bn_b]
+    qkvz_ref,
+    sin_ref,     # [bm, D] f32 per-row rope tables (position past_b[row])
+    cos_ref,
     # MLP refs (have_mlp only):
     nw_ref,      # [1, K1] post-attention norm weight
     guq_ref,     # [K1/4, bn_a/2] gate/up block (phase E)
@@ -73,10 +81,15 @@ def _layer_tail_kernel(
     ds_ref,      # [1, K2/gs, bn_f]
     dz_ref,
     out_ref,     # [bm, bn_o] (attn-only) | [bm, bn_f] (with MLP)
+    kn_out,      # [bm, Hkv*D] bf16 post-rope K row (have_qkv only) | None
+    vn_out,      # [bm, Hkv*D] bf16 V row                           | None
     m_scr,       # [R, 128] f32
     l_scr,       # [R, 128] f32
     acc_scr,     # [R, D] f32
     attn_scr,    # [bm, K1] bf16 flat attention output (head-major)
+    # qkv scratches (have_qkv only):
+    xn0_scr,     # [bm, K1] bf16 input-normed h
+    qkv_scr,     # [bm, N_qkv] bf16 fused-qkv GEMV output (post-rope q/k)
     # MLP scratches (have_mlp only):
     h_scr,       # [bm, K1] bf16 post-attention residual h'
     xn_scr,      # [bm, K1] bf16 normed h'
@@ -87,6 +100,7 @@ def _layer_tail_kernel(
     d: int,
     hkv: int,
     n_sk: int,
+    steps_b: int,
     steps_c: int,
     steps_d: int,
     steps_e: int,
@@ -98,19 +112,113 @@ def _layer_tail_kernel(
     groupsize: int,
     have_bias: bool,
     have_mlp: bool,
+    heads: int,
+    nq_pad: int,
+    nkv_pad: int,
     a8: bool = False,
 ):
     t = pl.program_id(0)
-    # phase C decomposition: t = (b * hkv + h) * n_sk + si
-    bh = t // n_sk
-    si = t % n_sk
+    have_qkv = qkv_scr is not None
+    # phase C decomposition: (t - steps_b) = (b * hkv + h) * n_sk + si
+    tc = t - steps_b
+    bh = tc // n_sk
+    si = tc % n_sk
     b_idx = bh // hkv
     h_idx = bh % hkv
     bk = k_ref.shape[2]
-    off_e = steps_c + steps_d
+    off_c = steps_b
+    off_d = steps_b + steps_c
+    off_e = off_d + steps_d
     off_f = off_e + steps_e
 
-    @pl.when((t < steps_c) & (si == 0))
+    if have_qkv:
+        @pl.when(t == 0)
+        def _():
+            # phase B prologue: xn0 = rms_norm(h)·input_norm over the TRUE
+            # hidden columns (h carries zero-padded columns when
+            # hidden % N_ALIGN != 0)
+            k1w = iw_ref.shape[1]
+            xf = h_ref[:, :k1w].astype(jnp.float32)
+            ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xn = xf * jax.lax.rsqrt(ms + eps) * iw_ref[0].astype(jnp.float32)
+            xn0_scr[:] = xn.astype(xn0_scr.dtype)
+
+        @pl.when(t < steps_b)
+        def _():
+            # phase B: fused-qkv GEMV column blocks into qkv_scr
+            j = t
+            b8 = pltpu.bitcast(qkvq_ref[:], jnp.int8)
+            s = qkvs_ref[0].astype(jnp.float32)
+            z = qkvz_ref[0].astype(jnp.float32)
+            acc_lo, acc_hi = _npair_gemv_partials(
+                xn0_scr[:], b8, s, z, groupsize, a8=a8
+            )
+            bn_b = qkvq_ref.shape[1] * 2
+            base = pl.multiple_of(j * bn_b, bn_b)
+            for sub in range(len(acc_lo)):
+                qkv_scr[
+                    :, pl.ds(base + sub * N_ALIGN, PAIR_HALF)
+                ] = acc_lo[sub].astype(qkv_scr.dtype)
+                qkv_scr[
+                    :, pl.ds(base + sub * N_ALIGN + PAIR_HALF, PAIR_HALF)
+                ] = acc_hi[sub].astype(qkv_scr.dtype)
+
+        @pl.when(t == steps_b - 1)
+        def _():
+            # phase B epilogue: rope on the q and k head blocks (the same
+            # f32 math and bf16 cast chain as ops/rope.apply_rope_sliced on
+            # the separate-kernel path), then emit the committed K/V rows.
+            sin = sin_ref[:]                      # [bm, D] f32
+            cos = cos_ref[:]
+            half = d // 2
+
+            def rope_head(base):
+                x = qkv_scr[:, pl.ds(base, d)].astype(jnp.float32)
+                x1 = x[:, :half]
+                x2 = x[:, half:]
+                rot = jnp.concatenate([-x2, x1], axis=1)
+                qkv_scr[:, pl.ds(base, d)] = (
+                    x * cos + rot * sin
+                ).astype(qkv_scr.dtype)
+
+            for j in range(heads):
+                rope_head(j * d)
+            for j in range(hkv):
+                rope_head(nq_pad + j * d)
+            kn_out[:] = qkv_scr[:, pl.ds(nq_pad, hkv * d)]
+            vn_out[:] = qkv_scr[:, pl.ds(nq_pad + nkv_pad, hkv * d)]
+
+    def q_tile():
+        # [R, D] query rows of (b_idx, kv-head h_idx): g real rows from the
+        # qkv scratch (R - g zero rows pad the sublane tile)
+        if not have_qkv:
+            return q_ref[0, 0]
+        r = m_scr.shape[0]
+        rows = [
+            qkv_scr[
+                pl.ds(b_idx, 1), pl.ds((h_idx * g + j) * d, d)
+            ].astype(jnp.bfloat16)
+            for j in range(g)
+        ]
+        if r > g:
+            rows.append(jnp.zeros((r - g, d), jnp.bfloat16))
+        return jnp.concatenate(rows, axis=0)
+
+    def kn_row():
+        if not have_qkv:
+            return kn_ref[0, 0]
+        return qkv_scr[
+            pl.ds(b_idx, 1), pl.ds(nq_pad + h_idx * d, d)
+        ].astype(jnp.bfloat16)
+
+    def vn_row():
+        if not have_qkv:
+            return vn_ref[0, 0]
+        return qkv_scr[
+            pl.ds(b_idx, 1), pl.ds(nq_pad + nkv_pad + h_idx * d, d)
+        ].astype(jnp.bfloat16)
+
+    @pl.when((t >= off_c) & (t < off_d) & (si == 0))
     def _():
         m_scr[:] = jnp.full_like(m_scr, _MASK_VALUE)
         l_scr[:] = jnp.zeros_like(l_scr)
@@ -118,9 +226,9 @@ def _layer_tail_kernel(
 
     past = past_ref[jnp.minimum(b_idx, past_ref.shape[0] - 1), 0]
 
-    @pl.when((t < steps_c) & (si * bk < past))
+    @pl.when((t >= off_c) & (t < off_d) & (si * bk < past))
     def _():
-        q = q_ref[0, 0]
+        q = q_tile()
         k = k_ref[0, 0]
         if k.dtype == jnp.int8:
             k = k.astype(jnp.bfloat16)
@@ -157,12 +265,12 @@ def _layer_tail_kernel(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
-    @pl.when((t < steps_c) & (si == n_sk - 1))
+    @pl.when((t >= off_c) & (t < off_d) & (si == n_sk - 1))
     def _():
         # fold the in-flight row (always causally valid at T=1), normalize,
         # and park this head's rows in the flat attention scratch
-        q = q_ref[0, 0]
-        kn = kn_ref[0, 0]
+        q = q_tile()
+        kn = kn_row()
         s_new = jax.lax.dot_general(
             q, kn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -172,7 +280,7 @@ def _layer_tail_kernel(
         alpha = jnp.exp(m_prev - m_fin)
         p_new = jnp.exp(s_new - m_fin)
         l_fin = alpha * l_scr[:, :1] + p_new
-        vn = vn_ref[0, 0].astype(jnp.float32)
+        vn = vn_row().astype(jnp.float32)
         acc = acc_scr[:] * alpha + p_new * vn
         l = jnp.where(l_fin == 0.0, 1.0, l_fin)
         rows = (acc / l).astype(attn_scr.dtype)      # [R, D]
@@ -182,10 +290,10 @@ def _layer_tail_kernel(
                 pl.ds(b_idx, 1), pl.ds(base + j * d, d)
             ] = rows[j : j + 1, :]
 
-    @pl.when((t >= steps_c) & (t < off_e))
+    @pl.when((t >= off_d) & (t < off_e))
     def _():
         # o-projection + residual: → output (attn-only) or h' scratch (MLP)
-        j = t - steps_c
+        j = t - off_d
         b8 = pltpu.bitcast(oq_ref[:], jnp.int8)
         s = os_ref[0].astype(jnp.float32)
         z = oz_ref[0].astype(jnp.float32)
@@ -315,8 +423,8 @@ def attn_o_applicable(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "attend_len", "g", "groupsize", "bn_o", "bn_a", "bn_f", "inter",
-        "eps", "interpret", "a8",
+        "attend_len", "g", "groupsize", "bn_o", "bn_a", "bn_f", "bn_b",
+        "inter", "heads", "nq_pad", "nkv_pad", "eps", "interpret", "a8",
     ),
 )
 def _layer_tail_call(
@@ -334,6 +442,10 @@ def _layer_tail_call(
     nw=None,     # [1, K1] post-norm weight (MLP fusion)
     guq=None, gus=None, guz=None,
     dq=None, ds=None, dz=None,
+    iw=None,     # [1, K1] input norm weight (qkv fusion — phase B)
+    qkvq=None, qkvs=None, qkvz=None,
+    sin_op=None,  # [bm, D] f32 per-row rope rows
+    cos_op=None,
     *,
     attend_len: int,
     g: int,
@@ -341,19 +453,31 @@ def _layer_tail_call(
     bn_o: int,
     bn_a: int = 0,
     bn_f: int = 0,
+    bn_b: int = 0,
     inter: int = 0,
+    heads: int = 0,
+    nq_pad: int = 0,
+    nkv_pad: int = 0,
     eps: float = 0.0,
     interpret: bool,
     a8: bool = False,
 ):
-    b, hkv, r, d = qr.shape
+    if qr is not None:
+        b, hkv, r, d = qr.shape
+    else:                        # qkv fusion: q is computed in-kernel
+        b, hkv, _, d = k_cache.shape
+        r = max(8, g)
     bm, k1p = h2.shape           # k1p = residual width (padded_n(hidden))
     ko = oq.shape[0] * 4         # o-proj K = heads·head_dim (attn width)
-    k1 = nw.shape[1] if nw is not None else ko   # true hidden (norm/gu K)
+    k1 = nw.shape[1] if nw is not None else (
+        iw.shape[1] if iw is not None else ko)       # true hidden
     n_pad = os_.shape[1]
     gsz = ko // groupsize
     bk = _pick_bk(attend_len)
     n_sk = attend_len // bk
+    have_qkv = qkvq is not None
+    n_qkv = qkvs.shape[1] if have_qkv else 0
+    steps_b = n_qkv // bn_b if have_qkv else 0
     steps_c = b * hkv * n_sk
     steps_d = n_pad // bn_o
     have_mlp = nw is not None
@@ -367,30 +491,39 @@ def _layer_tail_call(
         steps_f = n_down // bn_f
         gu_half_cols = n_gu // 2
     else:
-        n_gu = k2 = gsz1 = gsz2 = n_down = 0
+        n_gu = k2 = gsz2 = n_down = 0
+        gsz1 = k1 // groupsize
         steps_e = steps_f = gu_half_cols = 0
-    off_e = steps_c + steps_d
+    off_d = steps_b + steps_c
+    off_e = off_d + steps_d
     off_f = off_e + steps_e
     total = off_f + steps_f if have_mlp else off_e
 
     def cphase(t):
         # clamped phase-C operand coordinates
-        tc = jnp.minimum(t, steps_c - 1)
+        tc = jnp.clip(t - steps_b, 0, steps_c - 1)
         bh = tc // n_sk
         return bh // hkv, bh % hkv, tc % n_sk
 
     kernel = functools.partial(
         _layer_tail_kernel,
-        g=g, d=d, hkv=hkv, n_sk=n_sk, steps_c=steps_c, steps_d=steps_d,
+        g=g, d=d, hkv=hkv, n_sk=n_sk, steps_b=steps_b, steps_c=steps_c,
+        steps_d=steps_d,
         steps_e=steps_e, bn_a=bn_a, inter=inter, gu_half_cols=gu_half_cols,
         eps=eps, scale=1.0 / (d ** 0.5), groupsize=groupsize,
-        have_bias=bias is not None, have_mlp=have_mlp, a8=a8,
+        have_bias=bias is not None, have_mlp=have_mlp,
+        heads=heads, nq_pad=nq_pad, nkv_pad=nkv_pad, a8=a8,
     )
 
-    in_specs = [
-        pl.BlockSpec((1, 1, r, d),
-                     lambda t, *_: (*cphase(t)[:2], 0, 0),
-                     memory_space=pltpu.VMEM),
+    in_specs = []
+    args = []
+    if not have_qkv:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, r, d), lambda t, *_: (*cphase(t)[:2], 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(qr)
+    in_specs += [
         pl.BlockSpec((1, 1, bk, d),
                      lambda t, *_: (cphase(t)[0], cphase(t)[1],
                                     cphase(t)[2], 0),
@@ -400,7 +533,7 @@ def _layer_tail_call(
                                     cphase(t)[2], 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [qr, k_cache, v_cache]
+    args += [k_cache, v_cache]
     have_scales = ks4 is not None
     if have_scales:
         for sc in (ks4, vs4):
@@ -416,15 +549,17 @@ def _layer_tail_call(
             memory_space=pltpu.VMEM,
         ))
         args.append(bias)
-    for nr in (k_new, v_new):
-        in_specs.append(pl.BlockSpec(
-            (1, 1, 1, d), lambda t, *_: (cphase(t)[0], cphase(t)[1], 0, 0),
-            memory_space=pltpu.VMEM,
-        ))
-        args.append(nr)
+    if not have_qkv:
+        for nr in (k_new, v_new):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 1, d),
+                lambda t, *_: (cphase(t)[0], cphase(t)[1], 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            args.append(nr)
 
     def dphase(t):
-        return jnp.clip(t - steps_c, 0, steps_d - 1)
+        return jnp.clip(t - off_d, 0, steps_d - 1)
 
     in_specs += [
         pl.BlockSpec((bm, k1p), lambda t, *_: (0, 0),
@@ -440,6 +575,32 @@ def _layer_tail_call(
                      memory_space=pltpu.VMEM),
     ]
     args += [h2, oq, os_.reshape(1, gsz, n_pad), oz.reshape(1, gsz, n_pad)]
+
+    if have_qkv:
+        def bphase(t):
+            return jnp.clip(t, 0, steps_b - 1)
+
+        in_specs += [
+            pl.BlockSpec((1, k1), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1 // 4, bn_b // 2),
+                         lambda t, *_: (0, bphase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz1, bn_b),
+                         lambda t, *_: (0, 0, bphase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gsz1, bn_b),
+                         lambda t, *_: (0, 0, bphase(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, d), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, d), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [
+            iw, qkvq, qkvs.reshape(1, gsz1, n_qkv),
+            qkvz.reshape(1, gsz1, n_qkv), sin_op, cos_op,
+        ]
 
     if have_mlp:
         def ephase(t):
@@ -484,7 +645,7 @@ def _layer_tail_call(
         out_n = n_pad
 
         def ophase(t):
-            return jnp.maximum(t - steps_c, 0)
+            return jnp.maximum(t - off_d, 0)
 
     scratch = [
         pltpu.VMEM((r, 128), jnp.float32),
@@ -492,6 +653,11 @@ def _layer_tail_call(
         pltpu.VMEM((r, d), jnp.float32),
         pltpu.VMEM((bm, ko), h2.dtype),      # attn: heads·head_dim wide
     ]
+    if have_qkv:
+        scratch += [
+            pltpu.VMEM((bm, k1), h2.dtype),   # xn0: input-normed h
+            pltpu.VMEM((bm, n_qkv), h2.dtype),
+        ]
     if have_mlp:
         scratch += [
             pltpu.VMEM((bm, k1p), h2.dtype),  # h': residual width
@@ -500,18 +666,29 @@ def _layer_tail_call(
             pltpu.VMEM((bm, k2), jnp.bfloat16),
         ]
 
-    def kern(past_ref, q_ref, k_ref, v_ref, *rest):
+    def kern(past_ref, *rest):
         rest = list(rest)
+        q_ref = None if have_qkv else rest.pop(0)
+        k_ref = rest.pop(0)
+        v_ref = rest.pop(0)
         ks_ref = vs_ref = bias_ref = None
         if have_scales:
             ks_ref = rest.pop(0)
             vs_ref = rest.pop(0)
         if bias is not None:
             bias_ref = rest.pop(0)
-        kn_ref = rest.pop(0)
-        vn_ref = rest.pop(0)
+        kn_ref = vn_ref = None
+        if not have_qkv:
+            kn_ref = rest.pop(0)
+            vn_ref = rest.pop(0)
         h_ref, oq_ref, os_ref, oz_ref = rest[:4]
         rest = rest[4:]
+        iw_ref = qkvq_ref = qkvs_ref = qkvz_ref = None
+        sin_ref = cos_ref = None
+        if have_qkv:
+            (iw_ref, qkvq_ref, qkvs_ref, qkvz_ref,
+             sin_ref, cos_ref) = rest[:6]
+            rest = rest[6:]
         if have_mlp:
             (nw_ref, guq_ref, gus_ref, guz_ref,
              dq_ref, ds_ref, dz_ref) = rest[:7]
@@ -519,17 +696,43 @@ def _layer_tail_call(
         else:
             nw_ref = guq_ref = gus_ref = guz_ref = None
             dq_ref = ds_ref = dz_ref = None
-        out_ref, m, l, acc, attn = rest[:5]
-        rest = rest[5:]
+        out_ref = rest.pop(0)
+        kn_out = vn_out = None
+        if have_qkv:
+            kn_out = rest.pop(0)
+            vn_out = rest.pop(0)
+        m, l, acc, attn = rest[:4]
+        rest = rest[4:]
+        xn0_scr = qkv_scr = None
+        if have_qkv:
+            xn0_scr = rest.pop(0)
+            qkv_scr = rest.pop(0)
         if have_mlp:
             h_scr, xn_scr, gu_scr, mid_scr = rest
         else:
             h_scr = xn_scr = gu_scr = mid_scr = None
         return kernel(past_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                       bias_ref, kn_ref, vn_ref, h_ref, oq_ref, os_ref,
-                      oz_ref, nw_ref, guq_ref, gus_ref, guz_ref,
-                      dq_ref, ds_ref, dz_ref, out_ref, m, l, acc, attn,
+                      oz_ref, iw_ref, qkvq_ref, qkvs_ref, qkvz_ref,
+                      sin_ref, cos_ref, nw_ref, guq_ref, gus_ref, guz_ref,
+                      dq_ref, ds_ref, dz_ref, out_ref, kn_out, vn_out,
+                      m, l, acc, attn, xn0_scr, qkv_scr,
                       h_scr, xn_scr, gu_scr, mid_scr)
+
+    out_specs = pl.BlockSpec(
+        (bm, out_bn), lambda t, *_: (0, ophase(t)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((bm, out_n), h2.dtype)
+    if have_qkv:
+        row_spec = pl.BlockSpec((bm, hkv * d), lambda t, *_: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = (out_specs, row_spec, row_spec)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((bm, hkv * d), h2.dtype),
+            jax.ShapeDtypeStruct((bm, hkv * d), h2.dtype),
+        )
 
     return pl.pallas_call(
         kern,
@@ -537,13 +740,10 @@ def _layer_tail_call(
             num_scalar_prefetch=1,
             grid=(total,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (bm, out_bn), lambda t, *_: (0, ophase(t)),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((bm, out_n), h2.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -652,3 +852,119 @@ def layer_tail(
         a8=impl.startswith("pallas_a8"),
     )
     return out[:b, :hidden].reshape(b, 1, hidden)
+
+
+def layer_step_applicable(
+    qkv: "QuantTensor | None",
+    o: "QuantTensor | None",
+    hidden: int,
+    heads: int,
+    head_dim: int,
+    matmul_impl: str,
+    has_lora: bool,
+) -> bool:
+    """Whole-layer fusion gate (phase B: in-kernel norm + fused-qkv GEMV +
+    rope). Checked IN ADDITION to ``attn_o_applicable`` and
+    ``fused_mlp_applicable``; adds the fused-qkv tensor requirements."""
+    if qkv is None or o is None or has_lora:
+        return False
+    if matmul_impl not in ("pallas", "pallas_interpret",
+                           "pallas_a8", "pallas_a8_interpret"):
+        return False
+    if qkv.layout != "npair" or qkv.x_map is not None:
+        return False
+    if qkv.in_features != hidden or hidden % 128 != 0:
+        return False
+    if qkv.groupsize != o.groupsize or hidden % qkv.groupsize != 0:
+        return False
+    if head_dim != 128:          # rope pairing assumes one 128-lane head
+        return False
+    return heads * head_dim == o.in_features
+
+
+def layer_step(
+    h: jax.Array,          # [B, 1, hidden] residual BEFORE the input norm
+    qkv: QuantTensor,      # fused q|k|v projection (npair)
+    input_norm: jax.Array,  # [hidden]
+    rope_sin: jax.Array,   # [1|B, 1, 1, D] pre-sliced rope rows
+    rope_cos: jax.Array,
+    k_cache: jax.Array,    # [B, Hkv, S_max, D]
+    v_cache: jax.Array,
+    past_len: jax.Array,   # scalar or [B]
+    attend_len: int,
+    o: QuantTensor,
+    post_norm: jax.Array,  # [hidden]
+    gateup: QuantTensor,
+    down: QuantTensor,
+    eps: float,
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    input_mask: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    impl: str = "pallas",
+):
+    """The ENTIRE decode layer in one kernel: input-norm + fused-qkv GEMV +
+    rope (phase B), flash attention over cache ⊕ in-flight row (C), o-proj
+    + residual (D), post-norm + MLP + residual (E/F). Returns
+    (h_out [B,1,hidden], k_row [B,1,Hkv,D], v_row [B,1,Hkv,D]) — the rows
+    feed the caller's batched deferred KV commit. Caller must have checked
+    ``layer_step_applicable`` + ``attn_o_applicable`` +
+    ``fused_mlp_applicable``."""
+    from exllama_tpu.formats.gptq import padded_n
+
+    b, t, hidden = h.shape
+    assert t == 1
+    d = head_dim
+    g = heads // kv_heads
+    past_b = jnp.broadcast_to(
+        past_len.astype(jnp.int32).reshape(-1, 1), (b, 1)
+    )
+    bias = None
+    if input_mask is not None:
+        bias = jnp.where(
+            input_mask, jnp.float32(0), jnp.float32(NEG_INF)
+        )[:, None, :]
+    ks4 = None if k_scale is None else k_scale[:, :, None, :]
+    vs4 = None if v_scale is None else v_scale[:, :, None, :]
+    h2 = h.reshape(b, hidden)
+    bm = 8 if b <= 8 else (16 if b <= 16 else 32)
+    k1p = max(down.padded_out_features, hidden)
+    if b != bm or k1p != hidden:
+        h2 = jnp.pad(h2, ((0, bm - b), (0, k1p - hidden)))
+    sin_op = jnp.broadcast_to(
+        rope_sin.reshape(-1, d), (b, d)
+    ).astype(jnp.float32)
+    cos_op = jnp.broadcast_to(
+        rope_cos.reshape(-1, d), (b, d)
+    ).astype(jnp.float32)
+    if b != bm:
+        sin_op = jnp.pad(sin_op, ((0, bm - b), (0, 0)))
+        cos_op = jnp.pad(cos_op, ((0, bm - b), (0, 0)))
+
+    bn_o = _pick_bn(o.padded_out_features, o.in_features)
+    bn_b = _pick_bn(qkv.padded_out_features, hidden)
+    inter = down.in_features
+    bn_a = _pick_bn(gateup.padded_out_features, hidden)
+    bn_f = _pick_bn(down.padded_out_features, inter)
+    out, kn, vn = _layer_tail_call(
+        None, k_cache, v_cache, past_b, bias, ks4, vs4, None, None,
+        h2, o.qweight, o.scales, o.zscale,
+        post_norm.reshape(1, hidden).astype(h.dtype),
+        gateup.qweight, gateup.scales, gateup.zscale,
+        down.qweight, down.scales, down.zscale,
+        input_norm.reshape(1, hidden).astype(h.dtype),
+        qkv.qweight, qkv.scales, qkv.zscale, sin_op, cos_op,
+        attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
+        bn_a=bn_a, bn_f=bn_f, bn_b=bn_b, inter=inter, heads=heads,
+        nq_pad=padded_n(heads * d), nkv_pad=padded_n(kv_heads * d),
+        eps=float(eps),
+        interpret=impl.endswith("_interpret"),
+        a8=impl.startswith("pallas_a8"),
+    )
+    return (
+        out[:b, :hidden].reshape(b, 1, hidden),
+        kn[:b].reshape(b, 1, kv_heads, d),
+        vn[:b].reshape(b, 1, kv_heads, d),
+    )

@@ -128,7 +128,7 @@ def _split_held(combined: str, stops: tuple) -> tuple[str, str, int]:
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
-                     "mlp_fuse", "attn_fuse"),
+                     "mlp_fuse", "attn_fuse", "qkv_fuse"),
     donate_argnames=("kv",),
 )
 def _engine_step(
@@ -160,13 +160,14 @@ def _engine_step(
     attn_impl: str = "auto",
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
+    qkv_fuse: bool = False,
 ):
     logits, kv = forward_chunk(
         params, kv, tokens, pos, None, lora,
         attend_len=attend_len, last_token_only=True, preprocess_only=False,
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
         matmul_impl=matmul_impl, attn_impl=attn_impl,
-        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
+        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse, qkv_fuse=qkv_fuse,
     )
     lg = logits[:, -1, :].astype(jnp.float32)
 
@@ -202,7 +203,7 @@ def _engine_step(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
-                     "mlp_fuse", "attn_fuse"),
+                     "mlp_fuse", "attn_fuse", "qkv_fuse"),
     donate_argnames=("kv",),
 )
 def _engine_spec_step(
@@ -232,6 +233,7 @@ def _engine_spec_step(
     attn_impl: str = "auto",
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
+    qkv_fuse: bool = False,
 ):
     """Speculative (draft-and-verify) engine step: one forward over K+1
     tokens per slot, target-distribution samples at every position,
@@ -250,7 +252,7 @@ def _engine_spec_step(
         attend_len=attend_len, last_token_only=False, preprocess_only=False,
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
         matmul_impl=matmul_impl, attn_impl=attn_impl,
-        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
+        mlp_fuse=mlp_fuse, attn_fuse=attn_fuse, qkv_fuse=qkv_fuse,
     )
     lg = logits.astype(jnp.float32)                     # [B, K+1, V]
 
@@ -687,6 +689,7 @@ class ContinuousBatchingEngine:
             attn_impl=self.model._attn_impl(),
             mlp_fuse=self.model.config.tuning.fuse_mlp,
             attn_fuse=self.model.config.tuning.fuse_attn,
+            qkv_fuse=self.model.config.tuning.fuse_qkv,
         )
         self.cache.state = new_kv
         tokens = np.asarray(tokens)
@@ -780,6 +783,7 @@ class ContinuousBatchingEngine:
                 attn_impl=self.model._attn_impl(),
                 mlp_fuse=self.model.config.tuning.fuse_mlp,
                 attn_fuse=self.model.config.tuning.fuse_attn,
+                qkv_fuse=self.model.config.tuning.fuse_qkv,
             )
         )
         self.cache.state = new_kv

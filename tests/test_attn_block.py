@@ -330,3 +330,231 @@ def test_non_aligned_hidden():
     ref2 = q4_mlp(h_mid, nw, gateup, down, 1e-6, impl="pallas_interpret")
     assert got2.shape == (b, 1, hidden)
     check(got2, ref2)
+
+
+# ---------------------------------------------------------------------------
+# Whole-layer megakernel (layer_step): norm + qkv GEMV + rope + attention +
+# o-proj + MLP in one kernel vs the separate-kernel chain.
+# ---------------------------------------------------------------------------
+
+def _mk_qt(k, n, seed, gs=128):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.08
+    t = gptq.quantize_matrix(w, gs, act_order=False, rng=rng)
+    return gptq.load_quant_tensor(
+        t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
+    )
+
+
+def _layer_setup(b, hkv, s_max, seed=21, hidden=HIDDEN, inter=1152,
+                 int8_kv=False):
+    rng = np.random.default_rng(seed)
+    heads = hidden // D
+    qkv = gptq.concat_quant_tensors([
+        _mk_qt(hidden, heads * D, seed + 1),
+        _mk_qt(hidden, hkv * D, seed + 2),
+        _mk_qt(hidden, hkv * D, seed + 3),
+    ])
+    o = _mk_qt(hidden, hidden, seed + 4)
+    gateup = gptq.concat_quant_tensors([
+        _mk_qt(hidden, inter, seed + 5), _mk_qt(hidden, inter, seed + 6),
+    ])
+    down = _mk_qt(inter, hidden, seed + 7)
+    h = jnp.asarray(rng.normal(size=(b, 1, hidden)) * 0.5, jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(b, hkv, s_max, D)) * 0.5, jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(b, hkv, s_max, D)) * 0.5, jnp.bfloat16)
+    iw = jnp.asarray(rng.normal(size=(hidden,)) * 0.2 + 1.0, jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(hidden,)) * 0.2 + 1.0, jnp.bfloat16)
+    ks = vs = None
+    if int8_kv:
+        from exllama_tpu.ops.attention import quantize_kv_rows
+
+        qk, sk = quantize_kv_rows(jnp.swapaxes(kc, 1, 2))
+        qv, sv = quantize_kv_rows(jnp.swapaxes(vc, 1, 2))
+        kc, vc = jnp.swapaxes(qk, 1, 2), jnp.swapaxes(qv, 1, 2)
+        ks, vs = jnp.swapaxes(sk, 1, 2), jnp.swapaxes(sv, 1, 2)
+    return qkv, o, gateup, down, h, kc, vc, iw, nw, ks, vs
+
+
+def _layer_oracle(h, qkv, iw, sin_t, cos_t, kc, vc, past, attend_len,
+                  o, nw, gateup, down, eps, heads, hkv, impl, ks, vs,
+                  mask=None):
+    """The separate-kernel decode chain (what _decoder_layer runs with
+    qkv_fuse=False): in-kernel-norm qkv GEMV, XLA rope, layer-tail fused
+    reference built from attend_xla + q4_matmul + q4_mlp oracles."""
+    from exllama_tpu.formats.gptq import padded_n
+    from exllama_tpu.ops.mlp import q4_mlp
+    from exllama_tpu.ops.rope import apply_rope_sliced
+
+    b = h.shape[0]
+    fused = q4_matmul(h, qkv, impl=impl, norm_w=iw, norm_eps=eps)
+    nq, nkv = heads * D, hkv * D
+    ok = padded_n(nq)
+    ov = ok + padded_n(nkv)
+    q = fused[..., :nq].reshape(b, 1, heads, D)
+    k = fused[..., ok : ok + nkv].reshape(b, 1, hkv, D)
+    v = fused[..., ov : ov + nkv].reshape(b, 1, hkv, D)
+    q = apply_rope_sliced(q, sin_t, cos_t)
+    k = apply_rope_sliced(k, sin_t, cos_t)
+    attn = attend_xla(q, kc, vc, past, attend_len, input_mask=mask,
+                      k_scale=ks, v_scale=vs, new_kv=(k, v))
+    h_mid = h + q4_matmul(attn.reshape(b, 1, heads * D), o, impl=impl)
+    out = q4_mlp(h_mid, nw, gateup, down, eps, impl=impl)
+    return out, k, v
+
+
+@pytest.mark.parametrize("hkv,past", [(8, 90), (2, 0), (2, 255)])
+def test_layer_step_matches_separate(hkv, past):
+    from exllama_tpu.ops.attn_block import layer_step, layer_step_applicable
+    from exllama_tpu.ops.rope import rope_tables, slice_tables
+
+    (qkv, o, gateup, down, h, kc, vc, iw, nw,
+     ks, vs) = _layer_setup(1, hkv, 256)
+    heads = HIDDEN // D
+    assert layer_step_applicable(qkv, o, HIDDEN, heads, D,
+                                 "pallas_interpret", False)
+    sin, cos = rope_tables(256, D)
+    p = jnp.int32(past)
+    sin_t, cos_t = slice_tables(sin, cos, p, 1)
+    got, kr, vr = layer_step(
+        h, qkv, iw, sin_t, cos_t, kc, vc, p, 256, o, nw, gateup, down,
+        1e-6, heads, hkv, D, impl="pallas_interpret",
+    )
+    ref, k_ref, v_ref = _layer_oracle(
+        h, qkv, iw, sin_t, cos_t, kc, vc, p, 256, o, nw, gateup, down,
+        1e-6, heads, hkv, "pallas_interpret", ks, vs,
+    )
+    assert got.shape == (1, 1, HIDDEN)
+    check(got, ref)
+    np.testing.assert_array_equal(np.asarray(kr), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(vr), np.asarray(v_ref))
+
+
+def test_layer_step_batch_cursors_and_mask():
+    from exllama_tpu.ops.attn_block import layer_step
+    from exllama_tpu.ops.rope import rope_tables, slice_tables
+
+    b = 3
+    (qkv, o, gateup, down, h, kc, vc, iw, nw,
+     ks, vs) = _layer_setup(b, 8, 256, seed=33)
+    heads = HIDDEN // D
+    past = jnp.asarray([20, 7, 133], jnp.int32)
+    mask = np.ones((b, 256), bool)
+    mask[0, :9] = False
+    mask = jnp.asarray(mask)
+    sin, cos = rope_tables(256, D)
+    sin_t, cos_t = slice_tables(sin, cos, past, 1)
+    got, kr, vr = layer_step(
+        h, qkv, iw, sin_t, cos_t, kc, vc, past, 256, o, nw, gateup, down,
+        1e-6, heads, 8, D, input_mask=mask, impl="pallas_interpret",
+    )
+    ref, k_ref, v_ref = _layer_oracle(
+        h, qkv, iw, sin_t, cos_t, kc, vc, past, 256, o, nw, gateup, down,
+        1e-6, heads, 8, "pallas_interpret", ks, vs, mask=mask,
+    )
+    check(got, ref)
+    np.testing.assert_array_equal(np.asarray(kr), np.asarray(k_ref))
+
+
+def test_layer_step_int8_kv_and_a8():
+    from exllama_tpu.ops.attn_block import layer_step
+    from exllama_tpu.ops.rope import rope_tables, slice_tables
+
+    (qkv, o, gateup, down, h, kc, vc, iw, nw,
+     ks, vs) = _layer_setup(1, 8, 256, seed=44, int8_kv=True)
+    heads = HIDDEN // D
+    p = jnp.int32(77)
+    sin, cos = rope_tables(256, D)
+    sin_t, cos_t = slice_tables(sin, cos, p, 1)
+    for impl in ("pallas_interpret", "pallas_a8_interpret"):
+        got, kr, vr = layer_step(
+            h, qkv, iw, sin_t, cos_t, kc, vc, p, 256, o, nw, gateup,
+            down, 1e-6, heads, 8, D, k_scale=ks, v_scale=vs, impl=impl,
+        )
+        ref, k_ref, v_ref = _layer_oracle(
+            h, qkv, iw, sin_t, cos_t, kc, vc, p, 256, o, nw, gateup,
+            down, 1e-6, heads, 8, impl, ks, vs,
+        )
+        check(got, ref, tol=0.05 if "a8" in impl else 0.03)
+        np.testing.assert_array_equal(np.asarray(kr), np.asarray(k_ref))
+
+
+def test_layer_step_non_aligned_hidden():
+    """hidden % N_ALIGN != 0 (the 33B shape class) through the whole-layer
+    kernel: zero-padded residual columns end-to-end."""
+    from exllama_tpu.ops.attn_block import layer_step, layer_step_applicable
+    from exllama_tpu.ops.rope import rope_tables, slice_tables
+
+    hidden, hkv = 1536, 4
+    (qkv, o, gateup, down, h, kc, vc, iw, nw,
+     ks, vs) = _layer_setup(1, hkv, 256, seed=55, hidden=hidden)
+    heads = hidden // D
+    assert down.padded_out_features != hidden
+    assert layer_step_applicable(qkv, o, hidden, heads, D,
+                                 "pallas_interpret", False)
+    p = jnp.int32(64)
+    sin, cos = rope_tables(256, D)
+    sin_t, cos_t = slice_tables(sin, cos, p, 1)
+    got, kr, vr = layer_step(
+        h, qkv, iw, sin_t, cos_t, kc, vc, p, 256, o, nw, gateup, down,
+        1e-6, heads, hkv, D, impl="pallas_interpret",
+    )
+    ref, k_ref, v_ref = _layer_oracle(
+        h, qkv, iw, sin_t, cos_t, kc, vc, p, 256, o, nw, gateup, down,
+        1e-6, heads, hkv, "pallas_interpret", ks, vs,
+    )
+    assert got.shape == (1, 1, hidden)
+    check(got, ref)
+    np.testing.assert_array_equal(np.asarray(kr), np.asarray(k_ref))
+
+
+def test_forward_chunk_qkv_fuse_equivalence():
+    """End-to-end decode step with the whole-layer megakernel
+    (tuning.fuse_qkv=True) vs the xla-oracle attention path."""
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.models.llama import ExLlama
+
+    cfg = ExLlamaConfig()
+    cfg.hidden_size = HIDDEN
+    cfg.intermediate_size = 1152
+    cfg.num_attention_heads = HEADS
+    cfg.num_key_value_heads = 4       # GQA g=2
+    cfg.head_dim = D
+    cfg.num_hidden_layers = 2
+    cfg.vocab_size = 2048
+    cfg.max_seq_len = 128
+    cfg.tuning.matmul_impl = "pallas_interpret"
+    params = make_synthetic_params(cfg, groupsize=128, act_order=False,
+                                   seed=9)
+    ids = (np.arange(10, dtype=np.int32)[None, :] * 13 + 7) % cfg.vocab_size
+
+    import exllama_tpu.ops.attn_block as AB
+    real = AB.layer_step
+    calls = []
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    outs = {}
+    for fuse in (True, False):
+        cfg.tuning.fuse_qkv = fuse
+        cfg.tuning.attn_impl = "flash_interpret" if fuse else "xla"
+        AB.layer_step = spy if fuse else real
+        try:
+            model = ExLlama(cfg, params=params)
+            cache = ExLlamaCache(model)
+            logits = model.forward(ids, cache)
+            tok = np.argmax(
+                np.asarray(logits[:, -1]), -1
+            )[None].astype(np.int32)
+            step = model.forward(tok, cache)
+        finally:
+            AB.layer_step = real
+        outs[fuse] = np.asarray(step, np.float32)
+    assert len(calls) == cfg.num_hidden_layers  # megakernel actually ran
+    ref = outs[False]
+    atol = 0.03 * max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(outs[True], ref, atol=atol)
