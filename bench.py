@@ -66,6 +66,29 @@ def main():
     prefill()  # compile
     prompt_ts = prompt_len / min(prefill(), prefill())
 
+    # ---- turbo prefill (W4A8 int8 MXU dots; opt-in, ~1.6% logit noise)
+    turbo_prompt_ts = None
+    if backend == "tpu":
+        import copy
+
+        from exllama_tpu.models.llama import ExLlama as _E
+
+        cfg_t = copy.deepcopy(cfg)
+        cfg_t.tuning.matmul_impl = "pallas_a8"
+        model_t = _E(cfg_t, params=model.params)
+        cache_t = ExLlamaCache(model_t)
+
+        def prefill_turbo():
+            cache_t.current_seq_len = 0
+            t0 = time.perf_counter()
+            model_t.forward(ids, cache_t, preprocess_only=True)
+            sync(cache_t.state.k[0][0, 17, 0, :1])
+            return time.perf_counter() - t0
+
+        prefill_turbo()
+        turbo_prompt_ts = prompt_len / min(prefill_turbo(), prefill_turbo())
+        del cache_t
+
     # ---- decode: 128 tokens greedily, chained on device (one jit) to
     # exclude host dispatch; this measures the "worst" position (full ctx)
     step = functools.partial(
@@ -218,6 +241,9 @@ def main():
         "int8kv_decode_tok_s": round(int8kv_ts, 2),
         "turbo_decode_tok_s": round(turbo_ts, 2),
         "prompt_tok_s": round(prompt_ts, 1),
+        "turbo_prompt_tok_s": (
+            round(turbo_prompt_ts, 1) if turbo_prompt_ts else None
+        ),
         "roofline_tok_s": round(roofline_ts, 1),
         "roofline_frac": round(decode_ts / roofline_ts, 3),
         "backend": backend,

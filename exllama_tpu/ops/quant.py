@@ -549,12 +549,46 @@ def _q4_deqw2_kernel_npair(
     ).astype(out_dtype)
 
 
+def _q4_prefill_kernel_npair_a8(
+    x_ref,        # [bm, K]
+    qw_ref,       # [K/4, bn/2]
+    s_ref,        # [1, K/gs, bn]
+    z_ref,
+    out_ref,      # [bm, bn]
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """W4A8 turbo prefill: per-(row, group) int8-quantized activations feed
+    int8 MXU dots directly against the packed npair bytes (the decode a8
+    GEMV math at MXU-sized M tiles). No dequantized-weight scratch — the
+    int8 MXU path runs at ~2x the bf16 rate on v5e, so the dots replace
+    both the VPU dequant AND the bf16 matmul of the deqw2 kernel.
+    Same ~1.6%-of-logit-scale noise contract as decode turbo mode."""
+    from exllama_tpu.ops.mlp import _npair_gemv_partials
+
+    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+    acc_lo, acc_hi = _npair_gemv_partials(
+        x_ref[:], b8, s_ref[0].astype(jnp.float32),
+        z_ref[0].astype(jnp.float32), groupsize, a8=True,
+    )
+    half = N_ALIGN // 2
+    for sub in range(len(acc_lo)):
+        lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+        hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+        out_ref[:, lo_c] = acc_lo[sub].astype(out_dtype)
+        out_ref[:, hi_c] = acc_hi[sub].astype(out_dtype)
+
+
 DEQW2_VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def _deqw2_vmem_bytes(k: int, bn: int, bm: int, groupsize: int) -> int:
+def _deqw2_vmem_bytes(
+    k: int, bn: int, bm: int, groupsize: int, a8: bool = False
+) -> int:
     return (
-        k * bn * 2                   # dequantized scratch (bf16)
+        (0 if a8 else k * bn * 2)    # dequantized scratch (bf16; a8: none)
         + (k // 8) * bn * 4 * 2      # qweight blocks, double buffered
         + bm * k * 2 * 2             # x blocks
         + (k // groupsize) * bn * 2 * 4
@@ -565,7 +599,7 @@ def _deqw2_vmem_bytes(k: int, bn: int, bm: int, groupsize: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "groupsize", "block_n", "out_dtype", "layout", "interpret"
+        "groupsize", "block_n", "out_dtype", "layout", "interpret", "a8"
     ),
 )
 def _q4_matmul_deqw2_call(
@@ -579,6 +613,7 @@ def _q4_matmul_deqw2_call(
     out_dtype,
     layout: str = "kgroup",
     interpret: bool,
+    a8: bool = False,
 ):
     m, k = x2.shape
     n_pad = scales.shape[1]
@@ -587,9 +622,15 @@ def _q4_matmul_deqw2_call(
     grid = (n_pad // block_n, m // bm)   # M innermost: scratch reused
     scales3 = scales.reshape(1, gsz, n_pad)
     zscale3 = zscale.reshape(1, gsz, n_pad)
+    if a8:
+        assert layout == "npair"
+        kern_fn = _q4_prefill_kernel_npair_a8
+    else:
+        kern_fn = (
+            _q4_deqw2_kernel_npair if layout == "npair" else _q4_deqw2_kernel
+        )
     kernel = functools.partial(
-        _q4_deqw2_kernel_npair if layout == "npair" else _q4_deqw2_kernel,
-        groupsize=groupsize, block_k=k, out_dtype=out_dtype,
+        kern_fn, groupsize=groupsize, block_k=k, out_dtype=out_dtype,
     )
     flops = 2 * m * k * n_pad
     bytes_accessed = (
@@ -619,7 +660,9 @@ def _q4_matmul_deqw2_call(
         out_specs=pl.BlockSpec((bm, block_n), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((k, block_n), jnp.bfloat16)],
+        scratch_shapes=(
+            [] if a8 else [pltpu.VMEM((k, block_n), jnp.bfloat16)]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
@@ -878,11 +921,20 @@ def _q4_matmul_pallas(
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
-    kind = "gemv" if m <= GEMV_MAX_M else "deqw"
-    if a8 and kind == "gemv" and qt.layout == "npair":
-        kind = "gemv_a8"   # W4A8 turbo path (prefill stays exact)
-    n_pad = qt.padded_out_features
     import os
+
+    kind = "gemv" if m <= GEMV_MAX_M else "deqw"
+    prefill_a8 = False
+    if a8 and kind == "gemv" and qt.layout == "npair":
+        kind = "gemv_a8"   # W4A8 turbo decode path
+    elif a8 and kind == "deqw" and qt.layout == "npair" \
+            and qt.x_map is None \
+            and not os.environ.get("EXLLAMA_TPU_EXACT_PREFILL"):
+        # turbo prefill: int8 MXU dots (~2x the bf16 rate) under the same
+        # noise contract as turbo decode; set EXLLAMA_TPU_EXACT_PREFILL=1
+        # to keep prefill exact while decoding in turbo mode
+        prefill_a8 = True
+    n_pad = qt.padded_out_features
     deqw2_bn = int(os.environ.get("DEQW2_BN", str(N_ALIGN)))
     bk_pref = None
     if qt.layout == "npair" and kind in ("gemv", "gemv_a8"):
@@ -930,7 +982,8 @@ def _q4_matmul_pallas(
     if (
         kind == "deqw"
         and k % qt.groupsize == 0
-        and _deqw2_vmem_bytes(k, bn2, bm, qt.groupsize) <= DEQW2_VMEM_BUDGET
+        and _deqw2_vmem_bytes(k, bn2, bm, qt.groupsize, a8=prefill_a8)
+        <= DEQW2_VMEM_BUDGET
     ):
         out = _q4_matmul_deqw2_call(
             x2,
@@ -942,6 +995,7 @@ def _q4_matmul_pallas(
             out_dtype=jnp.dtype(x.dtype),
             layout=qt.layout,
             interpret=interpret,
+            a8=prefill_a8,
         )
         out = out[:m, : qt.out_features]
         return out.reshape(*lead, qt.out_features)

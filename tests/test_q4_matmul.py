@@ -137,3 +137,37 @@ def test_norm_fused_a8():
     ref = np.asarray(ref, np.float32)
     atol = 0.02 * max(1.0, float(np.abs(ref).max()))
     np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=atol)
+
+
+@pytest.mark.parametrize("gs", [32, 128])
+def test_turbo_prefill_a8_close_to_exact(gs):
+    """W4A8 turbo PREFILL kernel (M > GEMV regime → int8 MXU dots against
+    the packed bytes): same noise contract as the decode a8 path."""
+    rng = np.random.default_rng(9)
+    k, n, m = 256, 1024, 96          # m > GEMV_MAX_M → deqw/prefill path
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+    t = gptq.quantize_matrix(w, gs, False, rng)
+    qt = gptq.load_quant_tensor(t["qweight"], t["qzeros"], t["scales"])
+    x = rng.normal(size=(m, k)).astype(np.float32) * 0.5
+    xj = jnp.asarray(x, jnp.bfloat16)
+    ref = np.asarray(q4_matmul(xj, qt, impl="xla"), np.float32)
+    got = np.asarray(
+        q4_matmul(xj, qt, impl="pallas_a8_interpret"), np.float32
+    )
+    scale = np.abs(ref).max() + 1e-9
+    # max over 96x1024 samples has a fatter tail than the decode test's 4x512
+    assert np.abs(got - ref).max() / scale < 0.03
+    # escape hatch: exact prefill under turbo decode
+    import os
+
+    os.environ["EXLLAMA_TPU_EXACT_PREFILL"] = "1"
+    try:
+        exact = np.asarray(
+            q4_matmul(xj, qt, impl="pallas_a8_interpret"), np.float32
+        )
+    finally:
+        del os.environ["EXLLAMA_TPU_EXACT_PREFILL"]
+    pall = np.asarray(
+        q4_matmul(xj, qt, impl="pallas_interpret"), np.float32
+    )
+    np.testing.assert_allclose(exact, pall, rtol=0, atol=1e-5)
