@@ -66,7 +66,8 @@ def main():
     prefill()  # compile
     prompt_ts = prompt_len / min(prefill(), prefill())
 
-    # ---- turbo prefill (W4A8 int8 MXU dots; opt-in, ~1.6% logit noise)
+    # ---- turbo prefill (W4A8 int8 MXU dots; opt-in extra — noisier
+    # than turbo decode since prefill noise compounds through the KV cache)
     turbo_prompt_ts = None
     if backend == "tpu":
         import copy
@@ -74,7 +75,7 @@ def main():
         from exllama_tpu.models.llama import ExLlama as _E
 
         cfg_t = copy.deepcopy(cfg)
-        cfg_t.tuning.matmul_impl = "pallas_a8"
+        cfg_t.tuning.matmul_impl = "pallas_a8t"   # full turbo incl. prefill
         model_t = _E(cfg_t, params=model.params)
         cache_t = ExLlamaCache(model_t)
 

@@ -44,6 +44,10 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("--turbo", action="store_true",
                         help="W4A8 decode matmuls + int8 KV cache "
                              "(fastest; small activation-quant noise)")
+    parser.add_argument("--turbo_prefill", action="store_true",
+                        help="with --turbo: W4A8 prefill too (int8 MXU "
+                             "dots, ~2x prefill rate; noisier — prefill "
+                             "quant error compounds through the KV cache)")
     parser.add_argument("--no_fuse", action="store_true",
                         help="disable load-time qkv/gateup projection "
                              "fusion (required before TP sharding)")
@@ -111,7 +115,10 @@ def make_config(args) -> ExLlamaConfig:
     if getattr(args, "kv_int8", False) or getattr(args, "turbo", False):
         config.tuning.kv_cache_dtype = "int8"
     if getattr(args, "turbo", False) and args.matmul_impl == "auto":
-        config.tuning.matmul_impl = "pallas_a8"
+        config.tuning.matmul_impl = (
+            "pallas_a8t" if getattr(args, "turbo_prefill", False)
+            else "pallas_a8"
+        )
     if getattr(args, "no_fuse", False) or args.tp > 1 or args.dp > 1:
         config.tuning.fuse_projections = False
     if getattr(args, "scale_f32", False):

@@ -409,7 +409,8 @@ def attn_o_applicable(
     if batch > GEMV_MAX_M:
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
-                           "pallas_a8", "pallas_a8_interpret"):
+                           "pallas_a8", "pallas_a8_interpret",
+                           "pallas_a8t", "pallas_a8t_interpret"):
         return False
     if o.layout != "npair" or o.x_map is not None:
         return False
@@ -869,7 +870,8 @@ def layer_step_applicable(
     if qkv is None or o is None or has_lora:
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
-                           "pallas_a8", "pallas_a8_interpret"):
+                           "pallas_a8", "pallas_a8_interpret",
+                           "pallas_a8t", "pallas_a8t_interpret"):
         return False
     if qkv.layout != "npair" or qkv.x_map is not None:
         return False

@@ -223,7 +223,8 @@ def fused_mlp_applicable(
     if gateup is None or down is None or has_lora:
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
-                           "pallas_a8", "pallas_a8_interpret"):
+                           "pallas_a8", "pallas_a8_interpret",
+                           "pallas_a8t", "pallas_a8t_interpret"):
         return False
     if m > GEMV_MAX_M:
         return False

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -565,7 +566,8 @@ def _q4_prefill_kernel_npair_a8(
     GEMV math at MXU-sized M tiles). No dequantized-weight scratch — the
     int8 MXU path runs at ~2x the bf16 rate on v5e, so the dots replace
     both the VPU dequant AND the bf16 matmul of the deqw2 kernel.
-    Same ~1.6%-of-logit-scale noise contract as decode turbo mode."""
+    Noisier than decode turbo (~1-3% per matmul, compounding through the
+    KV cache over layers), hence opt-in via EXLLAMA_TPU_TURBO_PREFILL."""
     from exllama_tpu.ops.mlp import _npair_gemv_partials
 
     b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
@@ -909,6 +911,7 @@ KERNEL_PERMUTE_MAX_BLOCKS = 112
 
 def _q4_matmul_pallas(
     x: jax.Array, qt: QuantTensor, interpret: bool, a8: bool = False,
+    a8_prefill: bool = False,
     norm_w: "jax.Array | None" = None, norm_eps: float = 1e-6,
 ) -> jax.Array:
     *lead, k = x.shape
@@ -921,18 +924,17 @@ def _q4_matmul_pallas(
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
-    import os
-
     kind = "gemv" if m <= GEMV_MAX_M else "deqw"
     prefill_a8 = False
     if a8 and kind == "gemv" and qt.layout == "npair":
         kind = "gemv_a8"   # W4A8 turbo decode path
-    elif a8 and kind == "deqw" and qt.layout == "npair" \
-            and qt.x_map is None \
-            and not os.environ.get("EXLLAMA_TPU_EXACT_PREFILL"):
-        # turbo prefill: int8 MXU dots (~2x the bf16 rate) under the same
-        # noise contract as turbo decode; set EXLLAMA_TPU_EXACT_PREFILL=1
-        # to keep prefill exact while decoding in turbo mode
+    elif a8_prefill and kind == "deqw" and qt.layout == "npair" \
+            and qt.x_map is None:
+        # full-turbo prefill (matmul_impl="pallas_a8t"): int8 MXU dots at
+        # ~2x the bf16 rate. A separate opt-in beyond "pallas_a8": unlike
+        # turbo decode (one token's path), prefill quantizes every
+        # activation of every layer and the noise compounds through the KV
+        # cache (~3% of logit scale at depth 2, growing with depth).
         prefill_a8 = True
     n_pad = qt.padded_out_features
     deqw2_bn = int(os.environ.get("DEQW2_BN", str(N_ALIGN)))
@@ -1077,6 +1079,15 @@ def q4_matmul(
                                 norm_w=norm_w, norm_eps=norm_eps)
     elif impl == "pallas_a8_interpret":
         out = _q4_matmul_pallas(x, qt, interpret=True, a8=True,
+                                norm_w=norm_w, norm_eps=norm_eps)
+    elif impl == "pallas_a8t":
+        # full-turbo: a8 at decode AND prefill (int8 MXU prefill dots)
+        out = _q4_matmul_pallas(x, qt, interpret=False, a8=True,
+                                a8_prefill=True,
+                                norm_w=norm_w, norm_eps=norm_eps)
+    elif impl == "pallas_a8t_interpret":
+        out = _q4_matmul_pallas(x, qt, interpret=True, a8=True,
+                                a8_prefill=True,
                                 norm_w=norm_w, norm_eps=norm_eps)
     elif impl == "pallas_interpret":
         out = _q4_matmul_pallas(x, qt, interpret=True,

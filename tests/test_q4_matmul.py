@@ -152,21 +152,15 @@ def test_turbo_prefill_a8_close_to_exact(gs):
     xj = jnp.asarray(x, jnp.bfloat16)
     ref = np.asarray(q4_matmul(xj, qt, impl="xla"), np.float32)
     got = np.asarray(
-        q4_matmul(xj, qt, impl="pallas_a8_interpret"), np.float32
+        q4_matmul(xj, qt, impl="pallas_a8t_interpret"), np.float32
     )
     scale = np.abs(ref).max() + 1e-9
     # max over 96x1024 samples has a fatter tail than the decode test's 4x512
     assert np.abs(got - ref).max() / scale < 0.03
-    # escape hatch: exact prefill under turbo decode
-    import os
-
-    os.environ["EXLLAMA_TPU_EXACT_PREFILL"] = "1"
-    try:
-        exact = np.asarray(
-            q4_matmul(xj, qt, impl="pallas_a8_interpret"), np.float32
-        )
-    finally:
-        del os.environ["EXLLAMA_TPU_EXACT_PREFILL"]
+    # plain "pallas_a8" (turbo decode): prefill stays EXACT at large M
+    exact = np.asarray(
+        q4_matmul(xj, qt, impl="pallas_a8_interpret"), np.float32
+    )
     pall = np.asarray(
         q4_matmul(xj, qt, impl="pallas_interpret"), np.float32
     )
