@@ -14,11 +14,12 @@ COPY exllama_tpu ./exllama_tpu
 COPY csrc ./csrc
 COPY benchmark.py bench.py ./
 
-# jax[tpu] pulls libtpu from the Google releases index on a TPU VM
-RUN pip install --no-cache-dir -e ".[models,web]" \
-    && pip install --no-cache-dir "jax[tpu]" \
-        -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
-    || pip install --no-cache-dir -e ".[models,web]"
+# jax[tpu] pulls libtpu from the Google releases index on a TPU VM.
+# Separate steps so a failed TPU-runtime install fails the build instead
+# of silently producing a CPU-only image.
+RUN pip install --no-cache-dir -e ".[models,web]"
+RUN pip install --no-cache-dir "jax[tpu]" \
+        -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
 
 # persistent XLA compile cache + model mount points (reference
 # docker-compose.yml mounts ./models the same way)

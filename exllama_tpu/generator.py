@@ -644,6 +644,7 @@ class ExLlamaGenerator:
                     attn_impl=self.model._attn_impl(),
                     mlp_fuse=cfg.tuning.fuse_mlp,
                     attn_fuse=cfg.tuning.fuse_attn,
+                    qkv_fuse=cfg.tuning.fuse_qkv,
                 )
                 self._beam_cache.state = new_state
                 self._beam_cache.current_seq_len = past + 1

@@ -119,6 +119,11 @@ def make_config(args) -> ExLlamaConfig:
             "pallas_a8t" if getattr(args, "turbo_prefill", False)
             else "pallas_a8"
         )
+    elif getattr(args, "turbo_prefill", False):
+        print(" !! --turbo_prefill ignored: requires --turbo with "
+              "--matmul_impl auto (got "
+              f"turbo={getattr(args, 'turbo', False)}, "
+              f"matmul_impl={args.matmul_impl})")
     if getattr(args, "no_fuse", False) or args.tp > 1 or args.dp > 1:
         config.tuning.fuse_projections = False
     if getattr(args, "scale_f32", False):

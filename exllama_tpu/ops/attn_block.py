@@ -119,8 +119,11 @@ def _layer_tail_kernel(
 ):
     t = pl.program_id(0)
     have_qkv = qkv_scr is not None
-    # phase C decomposition: (t - steps_b) = (b * hkv + h) * n_sk + si
-    tc = t - steps_b
+    # phase C decomposition: (t - steps_b) = (b * hkv + h) * n_sk + si.
+    # Clamp below at 0: during phase-B steps tc is negative and a negative
+    # b_idx would drive an out-of-bounds SMEM read of past_ref (the value
+    # is unused there, but Mosaic does not bounds-check dynamic indices).
+    tc = jnp.maximum(t - steps_b, 0)
     bh = tc // n_sk
     si = tc % n_sk
     b_idx = bh // hkv
@@ -752,17 +755,10 @@ def _layer_tail_call(
     )(past_b, *args)
 
 
-def _prep(h, q, k_cache, new_kv, past_len, input_mask, k_scale, v_scale,
-          pad_cols: int = 0):
-    b, t, hh, d = q.shape
-    assert t == 1
-    hkv = k_cache.shape[1]
-    g = hh // hkv
-    hidden = h.shape[-1]
-    qr = q.reshape(b, 1, hkv, g, d).transpose(0, 2, 1, 3, 4)
-    qr = qr.reshape(b, hkv, g, d)
-    if g < 8:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 8 - g), (0, 0)))
+def _prep_common(h, past_len, input_mask, k_scale, v_scale, pad_cols: int):
+    """Operand prep shared by every fused-layer wrapper: per-row cursors,
+    left-pad bias, 4-D KV scales, and the residual padded to (bm, k1p)."""
+    b, _, hidden = h.shape
     past_b = jnp.broadcast_to(
         past_len.astype(jnp.int32).reshape(-1, 1), (b, 1)
     )
@@ -773,13 +769,29 @@ def _prep(h, q, k_cache, new_kv, past_len, input_mask, k_scale, v_scale,
         )[:, None, :]
     ks4 = None if k_scale is None else k_scale[:, :, None, :]
     vs4 = None if v_scale is None else v_scale[:, :, None, :]
-    k_new = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)
-    v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
     h2 = h.reshape(b, hidden)
     bm = 8 if b <= 8 else (16 if b <= 16 else 32)
     k1p = max(pad_cols, hidden)
     if b != bm or k1p != hidden:
         h2 = jnp.pad(h2, ((0, bm - b), (0, k1p - hidden)))
+    return past_b, bias, ks4, vs4, h2, b, bm, hidden
+
+
+def _prep(h, q, k_cache, new_kv, past_len, input_mask, k_scale, v_scale,
+          pad_cols: int = 0):
+    b, t, hh, d = q.shape
+    assert t == 1
+    hkv = k_cache.shape[1]
+    g = hh // hkv
+    qr = q.reshape(b, 1, hkv, g, d).transpose(0, 2, 1, 3, 4)
+    qr = qr.reshape(b, hkv, g, d)
+    if g < 8:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 8 - g), (0, 0)))
+    past_b, bias, ks4, vs4, h2, _, _, hidden = _prep_common(
+        h, past_len, input_mask, k_scale, v_scale, pad_cols
+    )
+    k_new = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)
+    v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
     return qr, past_b, bias, ks4, vs4, k_new, v_new, h2, g, b, hidden
 
 
@@ -916,25 +928,13 @@ def layer_step(
     ``fused_mlp_applicable``."""
     from exllama_tpu.formats.gptq import padded_n
 
-    b, t, hidden = h.shape
+    t = h.shape[1]
     assert t == 1
     d = head_dim
     g = heads // kv_heads
-    past_b = jnp.broadcast_to(
-        past_len.astype(jnp.int32).reshape(-1, 1), (b, 1)
+    past_b, bias, ks4, vs4, h2, b, bm, hidden = _prep_common(
+        h, past_len, input_mask, k_scale, v_scale, down.padded_out_features
     )
-    bias = None
-    if input_mask is not None:
-        bias = jnp.where(
-            input_mask, jnp.float32(0), jnp.float32(NEG_INF)
-        )[:, None, :]
-    ks4 = None if k_scale is None else k_scale[:, :, None, :]
-    vs4 = None if v_scale is None else v_scale[:, :, None, :]
-    h2 = h.reshape(b, hidden)
-    bm = 8 if b <= 8 else (16 if b <= 16 else 32)
-    k1p = max(down.padded_out_features, hidden)
-    if b != bm or k1p != hidden:
-        h2 = jnp.pad(h2, ((0, bm - b), (0, k1p - hidden)))
     sin_op = jnp.broadcast_to(
         rope_sin.reshape(-1, d), (b, d)
     ).astype(jnp.float32)
