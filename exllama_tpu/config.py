@@ -71,6 +71,16 @@ class TuningParams:
     # Default off until validated on real TPU hardware (interpret-mode
     # numerics match the separate-kernel path exactly).
     fuse_qkv: bool = False
+    # Fold the act-order down-proj activation permutation into the gate/up
+    # OUTPUT column order at load time: silu(gate)·up then emerges already
+    # in the order down's group-sequential rows expect, so down loses its
+    # x_map entirely (no in-kernel permute at decode, no XLA activation
+    # gather at prefill — the largest act-order matmul, and the one whose K
+    # exceeds the in-kernel permute cap at 33B+). Pure load-time weight
+    # transform; numerics unchanged. Single-chip path only (TP keeps the
+    # in-kernel permute). LoRA adapters on gate/up/down are re-permuted to
+    # match at lora-load time.
+    fold_act_order: bool = True
     # Decode-time attention length bucketing: round the attended KV length up
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).

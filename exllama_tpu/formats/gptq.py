@@ -519,3 +519,31 @@ def quantize_matrix(
     if act_order:
         out["g_idx"] = g_idx
     return out
+
+
+def permute_out_columns(qt: QuantTensor, perm: np.ndarray) -> QuantTensor:
+    """Reorder a packed npair tensor's TRUE output columns by ``perm``
+    (host-side unpack → gather → repack; padded columns stay zero-scaled).
+
+    Used by the act-order down-proj fold (formats/loader.py): new column j
+    holds old column perm[j].
+    """
+    assert qt.layout == "npair"
+    perm = np.asarray(perm, np.int64)
+    n = qt.out_features
+    assert perm.shape == (n,)
+    q = unpack_npair(np.asarray(qt.qweight))          # [K, N_pad]
+    qp = np.zeros_like(q)
+    qp[:, :n] = q[:, :n][:, perm]
+    s = np.asarray(qt.scales)
+    z = np.asarray(qt.zscale)
+    sp = np.zeros_like(s)
+    zp = np.zeros_like(z)
+    sp[:, :n] = s[:, :n][:, perm]
+    zp[:, :n] = z[:, :n][:, perm]
+    import jax.numpy as jnp
+
+    return dataclasses.replace(
+        qt, qweight=jnp.asarray(pack_npair(qp)),
+        scales=jnp.asarray(sp), zscale=jnp.asarray(zp),
+    )

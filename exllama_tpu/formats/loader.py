@@ -23,8 +23,30 @@ from exllama_tpu.config import ExLlamaConfig
 from exllama_tpu.formats.gptq import (
     QuantTensor,
     load_quant_tensor,
+    permute_out_columns,
     quantize_matrix,
 )
+
+
+def _fold_down_act_order(lp):
+    """Fold the act-order down-proj input permutation into the gate/up
+    OUTPUT columns (see config.TuningParams.fold_act_order). Returns
+    (new_lp, fold) where ``fold`` is the applied permutation (needed to
+    re-permute any gate/up/down LoRA adapters), or (lp, None) when there is
+    nothing to fold."""
+    import dataclasses as _dc
+
+    if lp.down is None or lp.down.x_map is None:
+        return lp, None
+    if lp.gate is None or lp.up is None:    # fused gateup (never act-order)
+        return lp, None
+    fold = np.asarray(lp.down.x_map, np.int64)
+    return _dc.replace(
+        lp,
+        gate=permute_out_columns(lp.gate, fold),
+        up=permute_out_columns(lp.up, fold),
+        down=_dc.replace(lp.down, x_map=None),
+    ), fold
 
 
 def _fusable_mesh(mesh) -> bool:
@@ -80,6 +102,7 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
 
     dtype = jnp.bfloat16
     layers = []
+    down_folds = []
     detected_gs = None
     detected_act = False
     for i in range(config.num_hidden_layers):
@@ -101,6 +124,10 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
         )
         detected_gs = lp.q.groupsize
         detected_act = detected_act or lp.q.act_order
+        fold = None
+        if config.tuning.fold_act_order and mesh is None:
+            lp, fold = _fold_down_act_order(lp)
+        down_folds.append(fold)
         if config.tuning.fuse_projections and _fusable_mesh(mesh):
             from exllama_tpu.models.llama import fuse_layer_projections
 
@@ -140,6 +167,10 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
         from exllama_tpu.parallel.mesh import shard_params
 
         params = shard_params(params, mesh)
+    elif any(f is not None for f in down_folds):
+        # plain python attr (not a pytree field): consumed by lora.py to
+        # re-permute gate/up/down adapters on folded layers
+        params._down_folds = down_folds
     return params
 
 
@@ -223,6 +254,7 @@ def make_synthetic_params(
     qt = qt_fast if fast else qt_slow
 
     layers = []
+    down_folds = []
     for _ in range(config.num_hidden_layers):
         lp = LayerParams(
             input_norm=jnp.ones((h,), dtype),
@@ -235,6 +267,10 @@ def make_synthetic_params(
             up=qt(h, inter),
             down=qt(inter, h),
         )
+        fold = None
+        if config.tuning.fold_act_order and mesh is None:
+            lp, fold = _fold_down_act_order(lp)
+        down_folds.append(fold)
         if config.tuning.fuse_projections and _fusable_mesh(mesh):
             from exllama_tpu.models.llama import fuse_layer_projections
 
@@ -271,4 +307,8 @@ def make_synthetic_params(
         from exllama_tpu.parallel.mesh import shard_params
 
         params = shard_params(params, mesh)
+    elif any(f is not None for f in down_folds):
+        # plain python attr (not a pytree field): consumed by lora.py to
+        # re-permute gate/up/down adapters on folded layers
+        params._down_folds = down_folds
     return params

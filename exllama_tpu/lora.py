@@ -126,6 +126,12 @@ class ExLlamaLora:
                 t *= self.lora_scaling
             found[proj].setdefault(layer_idx, {})[half[-1]] = t
 
+        # Act-order down-proj fold (formats/loader._fold_down_act_order):
+        # gate/up base weights have permuted OUTPUT columns and down's
+        # runtime input permutation is gone — adapters must match: gate/up
+        # B columns and down A rows get the same permutation.
+        down_folds = getattr(model.params, "_down_folds", None)
+
         # Build per-layer pytree tuple
         def proj_for_layer(proj: str, li: int):
             entries = found[proj]
@@ -141,6 +147,12 @@ class ExLlamaLora:
                 if "A" not in halves or "B" not in halves:
                     raise ValueError(f"incomplete A/B pair: layer {li} {proj}")
                 a, b = halves["A"], halves["B"]
+            fold = down_folds[li] if down_folds is not None else None
+            if fold is not None:
+                if proj in ("gate", "up"):
+                    b = b[:, fold]
+                elif proj == "down":
+                    a = a[fold, :]
             return (
                 jnp.asarray(a, jnp.bfloat16),
                 jnp.asarray(b, jnp.bfloat16),

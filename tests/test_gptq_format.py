@@ -209,3 +209,107 @@ def test_npair_layout_golden():
     byte2 = (words[1, 512 + 40] >> (8 * 1)) & 0xFF
     assert byte2 & 0x0F == 3
     assert (byte2 >> 4) & 0x0F == (0 ^ 8)
+
+
+def test_permute_out_columns_roundtrip():
+    """Column-permuted npair tensor dequantizes to the column-permuted
+    original (incl. zeroed padded columns)."""
+    import numpy as np
+
+    from exllama_tpu.formats.gptq import (
+        dequantize, load_quant_tensor, permute_out_columns, quantize_matrix,
+    )
+
+    rng = np.random.default_rng(5)
+    k, n = 256, 1104   # n not a multiple of N_ALIGN → padded columns exist
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.1
+    t = quantize_matrix(w, 128, False, rng)
+    qt = load_quant_tensor(t["qweight"], t["qzeros"], t["scales"])
+    perm = rng.permutation(n)
+    qp = permute_out_columns(qt, perm)
+    d0 = dequantize(qt)[:, :n]
+    d1 = dequantize(qp)
+    np.testing.assert_array_equal(d1[:, :n], d0[:, perm])
+    assert np.all(d1[:, n:] == 0)
+
+
+def test_act_order_down_fold_exact():
+    """fold_act_order: act-order model with the down permutation folded into
+    gate/up columns is BIT-identical to the unfolded path (same dequant
+    values, same dot pairs, same accumulation order)."""
+    import numpy as np
+
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.models.llama import ExLlama
+
+    def build(fold):
+        cfg = ExLlamaConfig()
+        cfg.hidden_size = 256
+        cfg.intermediate_size = 512
+        cfg.num_attention_heads = 4
+        cfg.num_key_value_heads = 4
+        cfg.head_dim = 64
+        cfg.num_hidden_layers = 2
+        cfg.vocab_size = 128
+        cfg.max_seq_len = 64
+        cfg.tuning.matmul_impl = "xla"
+        cfg.tuning.fold_act_order = fold
+        params = make_synthetic_params(cfg, 64, act_order=True, seed=11)
+        return ExLlama(cfg, params=params)
+
+    m_f, m_u = build(True), build(False)
+    assert m_f.params.layers[0].down.x_map is None        # folded
+    assert m_u.params.layers[0].down.x_map is not None    # not folded
+    assert getattr(m_f.params, "_down_folds", None) is not None
+    ids = (np.arange(10, dtype=np.int32)[None, :] * 7 + 3) % 128
+    out_f = np.asarray(m_f.forward(ids, ExLlamaCache(m_f)))
+    out_u = np.asarray(m_u.forward(ids, ExLlamaCache(m_u)))
+    np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_act_order_down_fold_lora(tmp_path):
+    """LoRA adapters on gate/up/down of a folded act-order model are
+    re-permuted at load: folded+lora == unfolded+lora bit-exactly."""
+    import numpy as np
+
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.lora import ExLlamaLora
+    from exllama_tpu.models.llama import ExLlama
+    from tests.test_lora import write_adapter
+
+    def build(fold):
+        cfg = ExLlamaConfig()
+        cfg.hidden_size = 256
+        cfg.intermediate_size = 512
+        cfg.num_attention_heads = 4
+        cfg.num_key_value_heads = 4
+        cfg.head_dim = 64
+        cfg.num_hidden_layers = 2
+        cfg.vocab_size = 128
+        cfg.max_seq_len = 64
+        cfg.tuning.matmul_impl = "xla"
+        cfg.tuning.fold_act_order = fold
+        params = make_synthetic_params(cfg, 64, act_order=True, seed=11)
+        return ExLlama(cfg, params=params)
+
+    ids = (np.arange(10, dtype=np.int32)[None, :] * 7 + 3) % 128
+    outs = {}
+    for fold in (True, False):
+        m = build(fold)
+        cfg_path, bin_path = write_adapter(str(tmp_path), m, scale=0.05)
+        lora = ExLlamaLora(m, cfg_path, bin_path)
+        from exllama_tpu.models.llama import forward_chunk
+
+        cache = ExLlamaCache(m)
+        logits, new_kv = forward_chunk(
+            m.params, cache.state, ids, np.int32(0), None, lora.stacked,
+            attend_len=64, last_token_only=True, preprocess_only=False,
+            heads=4, kv_heads=4, head_dim=64, eps=m.config.rms_norm_eps,
+            matmul_impl="xla",
+        )
+        outs[fold] = np.asarray(logits)
+    np.testing.assert_array_equal(outs[True], outs[False])
