@@ -51,6 +51,10 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("--no_fuse", action="store_true",
                         help="disable load-time qkv/gateup projection "
                              "fusion (required before TP sharding)")
+    parser.add_argument("--fuse_layer", action="store_true",
+                        help="whole-layer decode megakernel (one Pallas "
+                             "kernel per layer: norm + qkv + rope + "
+                             "attention + o + MLP; tuning.fuse_qkv)")
     parser.add_argument("--matmul_impl", type=str, default="auto",
                         choices=["auto", "pallas", "xla"],
                         help="q4 matmul implementation")
@@ -126,6 +130,8 @@ def make_config(args) -> ExLlamaConfig:
               f"matmul_impl={args.matmul_impl})")
     if getattr(args, "no_fuse", False) or args.tp > 1 or args.dp > 1:
         config.tuning.fuse_projections = False
+    if getattr(args, "fuse_layer", False):
+        config.tuning.fuse_qkv = True
     if getattr(args, "scale_f32", False):
         config.tuning.scale_dtype = "f32"
     return config

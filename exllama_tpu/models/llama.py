@@ -160,7 +160,10 @@ def _decoder_layer(
     if defer_kv and qkv_fuse and attn_fuse and mlp_fuse \
             and attn_impl.startswith("flash"):
         from exllama_tpu.ops.attn_block import (
-            attn_o_applicable, layer_step, layer_step_applicable,
+            attn_o_applicable,
+            layer_fusion_budget_ok,
+            layer_step,
+            layer_step_applicable,
         )
         from exllama_tpu.ops.mlp import fused_mlp_applicable
 
@@ -180,6 +183,11 @@ def _decoder_layer(
             and fused_mlp_applicable(
                 lp.gateup, lp.down, hidden, b * t, matmul_impl,
                 has_lora=False,
+            )
+            and layer_fusion_budget_ok(
+                lp.o, lp.gateup, lp.down, lp.qkv, hidden, cfg_heads,
+                cfg_kv_heads, cfg_head_dim, attend_len, b,
+                int8_kv=ksc is not None,
             )
         ):
             h, k_row, v_row = layer_step(
@@ -235,11 +243,17 @@ def _decoder_layer(
         ):
             from exllama_tpu.ops.mlp import fused_mlp_applicable
 
+            from exllama_tpu.ops.attn_block import layer_fusion_budget_ok
+
             if mlp_fuse and fused_mlp_applicable(
                 lp.gateup, lp.down, hidden, b * t, matmul_impl,
                 has_lora=any(
                     lora_ab(n) is not None for n in ("gate", "up", "down")
                 ),
+            ) and layer_fusion_budget_ok(
+                lp.o, lp.gateup, lp.down, None, hidden, cfg_heads,
+                cfg_kv_heads, cfg_head_dim, attend_len, b,
+                int8_kv=ksc is not None,
             ):
                 # the whole layer tail (attention → o-proj → residual →
                 # post-norm → MLP → residual) in ONE kernel

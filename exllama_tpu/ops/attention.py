@@ -49,6 +49,12 @@ def flash_supported_head_dim(d: int) -> bool:
     return d in (64,) or d % 128 == 0
 
 
+# Decode KV-block size candidates, shared with the fused layer kernels
+# (ops/attn_block._pick_bk) so the megakernel and its oracle always pick
+# the same strip decomposition.
+DECODE_BK_CANDS = (2048, 1024, 512, 384, 256, 128)
+
+
 def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-(token, head) symmetric int8 quantization of [B, T, Hkv, D] rows.
 
@@ -494,7 +500,7 @@ def _attend_flash_padded(
     # one grid step per kv head streams its whole strip at HBM speed
     # (measured 688 GB/s at bk=2048 vs 407 at bk=512 on v5e); prefill wants
     # moderate blocks so causal tile-skipping stays effective.
-    cands = (2048, 1024, 512, 384, 256, 128) if r_total <= 32 else (
+    cands = DECODE_BK_CANDS if r_total <= 32 else (
         1024, 512, 384, 256, 128)
     bk = attend_len
     for cand in cands:

@@ -47,6 +47,8 @@ from exllama_tpu.ops.mlp import (
     GEMV_MAX_M,
     _npair_gemv_partials,
     _pick_bn,
+    _rms_norm_into,
+    _silu_boundary,
 )
 
 
@@ -137,14 +139,9 @@ def _layer_tail_kernel(
     if have_qkv:
         @pl.when(t == 0)
         def _():
-            # phase B prologue: xn0 = rms_norm(h)·input_norm over the TRUE
-            # hidden columns (h carries zero-padded columns when
-            # hidden % N_ALIGN != 0)
-            k1w = iw_ref.shape[1]
-            xf = h_ref[:, :k1w].astype(jnp.float32)
-            ms = jnp.mean(xf * xf, axis=1, keepdims=True)
-            xn = xf * jax.lax.rsqrt(ms + eps) * iw_ref[0].astype(jnp.float32)
-            xn0_scr[:] = xn.astype(xn0_scr.dtype)
+            # phase B prologue: xn0 = rms_norm(h)·input_norm (shared with
+            # the fused-MLP kernel — ops/mlp._rms_norm_into)
+            _rms_norm_into(h_ref, iw_ref, eps, xn0_scr)
 
         @pl.when(t < steps_b)
         def _():
@@ -328,13 +325,8 @@ def _layer_tail_kernel(
 
     @pl.when(t == off_e)
     def _():
-        # MLP prologue: xn = rms_norm(h')·w over the TRUE hidden columns
-        # (h' carries zero-padded columns when hidden % N_ALIGN != 0)
-        k1w = nw_ref.shape[1]
-        xf = h_scr[:, :k1w].astype(jnp.float32)
-        ms = jnp.mean(xf * xf, axis=1, keepdims=True)
-        xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
-        xn_scr[:] = xn.astype(xn_scr.dtype)
+        # MLP prologue (shared with ops/mlp._q4_mlp_kernel)
+        _rms_norm_into(h_scr, nw_ref, eps, xn_scr)
 
     @pl.when((t >= off_e) & (t < off_f))
     def _():
@@ -354,13 +346,8 @@ def _layer_tail_kernel(
 
     @pl.when(t == off_f)
     def _():
-        # mid = silu(gate)·up with the unfused path's exact cast order
-        g_b = gu_scr[:, :inter].astype(jnp.bfloat16)
-        u_b = gu_scr[:, gu_half_cols : gu_half_cols + inter].astype(
-            jnp.bfloat16
-        )
-        sg = jax.nn.silu(g_b.astype(jnp.float32)).astype(jnp.bfloat16)
-        mid_scr[:] = sg * u_b
+        # mid = silu(gate)·up (shared with ops/mlp._q4_mlp_kernel)
+        _silu_boundary(gu_scr, inter, gu_half_cols, mid_scr)
 
     @pl.when(t >= off_f)
     def _():
@@ -385,7 +372,9 @@ def _layer_tail_kernel(
 
 
 def _pick_bk(attend_len: int) -> int:
-    for cand in (2048, 1024, 512, 384, 256, 128):
+    from exllama_tpu.ops.attention import DECODE_BK_CANDS
+
+    for cand in DECODE_BK_CANDS:
         if attend_len % cand == 0:
             return cand
     return attend_len
@@ -970,3 +959,72 @@ def layer_step(
         kn[:b].reshape(b, 1, kv_heads, d),
         vn[:b].reshape(b, 1, kv_heads, d),
     )
+
+
+_LAYER_VMEM_LIMIT = 100 * 1024 * 1024   # headroom under vmem_limit_bytes
+
+
+def layer_fusion_budget_ok(
+    o: QuantTensor,
+    gateup: "QuantTensor | None",
+    down: "QuantTensor | None",
+    qkv: "QuantTensor | None",
+    hidden: int,
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    attend_len: int,
+    batch: int,
+    int8_kv: bool,
+) -> bool:
+    """Combined gate for the multi-phase layer kernels (layer_tail /
+    layer_step): all participating tensors must share one groupsize (the
+    kernel reshapes every scale strip with it), and the kernel's OWN VMEM
+    footprint — weight/scale double-buffers for every phase, KV blocks,
+    and the scratches — must fit. attn_o_applicable/fused_mlp_applicable
+    check the per-piece constraints; this checks the sum."""
+    gs = o.groupsize
+    for qt in (gateup, down, qkv):
+        if qt is not None and qt.groupsize != gs:
+            return False
+    d = head_dim
+    bm = 8 if batch <= 8 else (16 if batch <= 16 else 32)
+    r = max(8, heads // kv_heads)
+    k1 = hidden
+    ko = o.in_features
+    k1p = max(down.padded_out_features if down is not None else 0, hidden)
+    bk = _pick_bk(attend_len)
+    kv_item = 1 if int8_kv else 2
+    total = 0
+    # KV strip blocks (k + v, double-buffered) + int8 scales
+    total += 2 * 2 * bk * d * kv_item
+    if int8_kv:
+        total += 2 * 2 * bk * 4
+    # residual input + output blocks
+    total += 2 * bm * k1p * 2 * 2
+
+    def w_blocks(k, n_pad, bn):
+        # qweight block (int32, packed half-width) + 2 scale strips, ×2 bufs
+        return 2 * (k * bn // 2 + 2 * (k // gs) * bn * 2)
+
+    bn_o = _pick_bn(o.padded_out_features, ko)
+    total += w_blocks(ko, o.padded_out_features, bn_o)
+    # scratches: softmax state + flat attention output
+    total += r * (128 + 128 + d) * 4 + bm * ko * 2
+    if gateup is not None and down is not None:
+        k2 = down.in_features
+        n_gu = gateup.padded_out_features
+        bn_a = _pick_bn(n_gu, k1)
+        bn_f = _pick_bn(down.padded_out_features, k2)
+        total += w_blocks(k1, n_gu, bn_a) + w_blocks(k2,
+                                                     down.padded_out_features,
+                                                     bn_f)
+        total += bm * (k1p * 2 + k1 * 2 + n_gu * 4 + k2 * 2)  # h'/xn/gu/mid
+    if qkv is not None:
+        n_qkv = qkv.padded_out_features
+        bn_b = _pick_bn(n_qkv, k1)
+        total += w_blocks(k1, n_qkv, bn_b)
+        total += bm * (k1 * 2 + n_qkv * 2)   # xn0 + qkv scratch
+        total += 2 * bm * d * 4 * 2          # sin/cos operands
+        total += 2 * 2 * bm * kv_heads * d * 2   # kn/vn outputs
+    return total <= _LAYER_VMEM_LIMIT

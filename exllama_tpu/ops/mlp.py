@@ -103,6 +103,27 @@ def _npair_gemv_partials(x, b8, s, z, groupsize, a8=False):
     return acc_lo, acc_hi
 
 
+def _rms_norm_into(src_ref, w_ref, eps, dst_scr):
+    """Shared norm prologue: dst = rms_norm(src[:, :true]) · w, reading only
+    the TRUE hidden columns (src may carry zero-padded columns when
+    hidden %% N_ALIGN != 0). One definition so the fused-MLP kernel and the
+    layer megakernel (ops/attn_block) can never drift numerically."""
+    k1w = w_ref.shape[1]
+    xf = src_ref[:, :k1w].astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(ms + eps) * w_ref[0].astype(jnp.float32)
+    dst_scr[:] = xn.astype(dst_scr.dtype)
+
+
+def _silu_boundary(gu_scr, inter, half_cols, mid_scr):
+    """Shared boundary: mid = silu(gate)·up with the unfused path's exact
+    cast order (bf16 kernel-output casts, f32 silu)."""
+    g_b = gu_scr[:, :inter].astype(jnp.bfloat16)
+    u_b = gu_scr[:, half_cols : half_cols + inter].astype(jnp.bfloat16)
+    sg = jax.nn.silu(g_b.astype(jnp.float32)).astype(jnp.bfloat16)
+    mid_scr[:] = sg * u_b
+
+
 def _q4_mlp_kernel(
     h_ref,       # [bm, K1] bf16 residual input (whole hidden)
     nw_ref,      # [1, K1]  post-attention norm weight
@@ -133,11 +154,7 @@ def _q4_mlp_kernel(
     # the true columns, whose width is nw's)
     @pl.when(t == 0)
     def _():
-        k1w = nw_ref.shape[1]
-        xf = h_ref[:, :k1w].astype(jnp.float32)
-        ms = jnp.mean(xf * xf, axis=1, keepdims=True)
-        xn = xf * jax.lax.rsqrt(ms + eps) * nw_ref[0].astype(jnp.float32)
-        xn_scr[:] = xn.astype(xn_scr.dtype)
+        _rms_norm_into(h_ref, nw_ref, eps, xn_scr)
 
     # ---- phase A: gate/up GEMV into gu_scr columns [t·bn_a, (t+1)·bn_a)
     @pl.when(t < steps_a)
@@ -158,12 +175,7 @@ def _q4_mlp_kernel(
     # ---- boundary: mid = silu(gate)·up with the unfused path's exact casts
     @pl.when(t == steps_a)
     def _():
-        g_b = gu_scr[:, :inter].astype(jnp.bfloat16)       # kernel-out cast
-        u_b = gu_scr[:, gu_half_cols : gu_half_cols + inter].astype(
-            jnp.bfloat16
-        )
-        sg = jax.nn.silu(g_b.astype(jnp.float32)).astype(jnp.bfloat16)
-        mid_scr[:] = sg * u_b
+        _silu_boundary(gu_scr, inter, gu_half_cols, mid_scr)
 
     # ---- phase B: down GEMV + residual
     @pl.when(t >= steps_a)

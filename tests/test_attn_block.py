@@ -558,3 +558,67 @@ def test_forward_chunk_qkv_fuse_equivalence():
     ref = outs[False]
     atol = 0.03 * max(1.0, float(np.abs(ref).max()))
     np.testing.assert_allclose(outs[True], ref, atol=atol)
+
+
+def test_mixed_groupsize_falls_back():
+    """A checkpoint with o at groupsize 64 but MLP at 128 must NOT engage
+    the combined layer kernels (their scale reshapes assume one groupsize);
+    the layer falls back to separate kernels and stays correct."""
+    from exllama_tpu.ops.attn_block import layer_fusion_budget_ok
+
+    o64 = _mk_qt(HIDDEN, HIDDEN, 61, gs=64)
+    gateup = gptq.concat_quant_tensors(
+        [_mk_qt(HIDDEN, 1152, 62), _mk_qt(HIDDEN, 1152, 63)]
+    )
+    down = _mk_qt(1152, HIDDEN, 64)
+    assert not layer_fusion_budget_ok(
+        o64, gateup, down, None, HIDDEN, HEADS, HEADS, D, 256, 1, False
+    )
+    o = _mk_qt(HIDDEN, HIDDEN, 65)
+    assert layer_fusion_budget_ok(
+        o, gateup, down, None, HIDDEN, HEADS, HEADS, D, 256, 1, False
+    )
+
+    # end-to-end: model with mixed groupsizes still decodes correctly
+    from exllama_tpu.cache import ExLlamaCache
+    from exllama_tpu.config import ExLlamaConfig
+    from exllama_tpu.formats.loader import make_synthetic_params
+    from exllama_tpu.models.llama import ExLlama
+
+    cfg = ExLlamaConfig()
+    cfg.hidden_size = HIDDEN
+    cfg.intermediate_size = 1152
+    cfg.num_attention_heads = HEADS
+    cfg.num_key_value_heads = HEADS
+    cfg.head_dim = D
+    cfg.num_hidden_layers = 1
+    cfg.vocab_size = 512
+    cfg.max_seq_len = 64
+    cfg.tuning.matmul_impl = "pallas_interpret"
+    cfg.tuning.attn_impl = "flash_interpret"
+    params = make_synthetic_params(cfg, 128, False, seed=66)
+    # swap in a gs=64 o-proj (same dequant scale distribution)
+    import dataclasses as dc
+
+    lp = params.layers[0]
+    params = dc.replace(
+        params, layers=(dc.replace(lp, o=_mk_qt(HIDDEN, HIDDEN, 67, gs=64)),)
+    )
+    model = ExLlama(cfg, params=params)
+    cache = ExLlamaCache(model)
+    ids = np.arange(6, dtype=np.int32)[None, :] % 512
+    logits = model.forward(ids, cache)
+    step = model.forward(np.array([[3]], np.int32), cache)
+    assert np.all(np.isfinite(np.asarray(step)))
+
+    cfg2 = ExLlamaConfig()
+    for a in ("hidden_size", "intermediate_size", "num_attention_heads",
+              "num_key_value_heads", "head_dim", "num_hidden_layers",
+              "vocab_size", "max_seq_len"):
+        setattr(cfg2, a, getattr(cfg, a))
+    cfg2.tuning.matmul_impl = "xla"
+    model2 = ExLlama(cfg2, params=params)
+    cache2 = ExLlamaCache(model2)
+    model2.forward(ids, cache2)
+    ref = model2.forward(np.array([[3]], np.int32), cache2)
+    check(step, ref)
