@@ -107,14 +107,22 @@ class ExLlamaCache:
             )
             if dtype is None and cfg.tuning.kv_cache_dtype == "int8":
                 dtype = jnp.int8
+            if dtype is None and cfg.tuning.kv_cache_dtype == "int4":
+                dtype = "int4"
         if dtype is None:
             dtype = jnp.bfloat16
         assert shape is not None, "need model=, copy_from= or shape="
+        # "int4": packed two-per-byte along D (int8 container, D/2 wide;
+        # ops/attention.quantize_kv_rows4)
+        int4 = dtype == "int4"
+        if int4:
+            dtype = jnp.int8
         self.batch_size = shape[1]
         self.max_seq_len = shape[2]
         self.shape = shape
         self.dtype = dtype
-        layer_shape = (shape[1], shape[3], shape[2], shape[4])  # B,Hkv,S,D
+        d_store = shape[4] // 2 if int4 else shape[4]
+        layer_shape = (shape[1], shape[3], shape[2], d_store)   # B,Hkv,S,D*
         scale_shape = layer_shape[:3]                           # B,Hkv,S
         quantized = jnp.dtype(dtype) == jnp.int8
         self.state = KVCacheState(

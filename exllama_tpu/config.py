@@ -42,9 +42,11 @@ class TuningParams:
     # quantization groupsize.
     q4_block_k: int = 512
     # KV cache storage: "bf16" (reference parity — its cache is fp16,
-    # model.py:576-577) or "int8" (per-token-per-head symmetric quantization
+    # model.py:576-577), "int8" (per-token-per-head symmetric quantization
     # with f32 scales; halves the KV stream that dominates long-context
-    # decode). No reference counterpart.
+    # decode), or "int4" (two values packed per byte along head_dim —
+    # quarter the stream; coarser: scale = rowmax/7, so reserve it for
+    # throughput-over-quality serving). No reference counterpart.
     kv_cache_dtype: str = "bf16"
     # Fuse the q/k/v and gate/up projections into single kernel calls at
     # load time (weights concatenated along output columns). The TPU

@@ -41,6 +41,10 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("--kv_int8", action="store_true",
                         help="int8 KV cache (halves the KV stream; "
                              "per-token-per-head scales)")
+    parser.add_argument("--kv_int4", action="store_true",
+                        help="int4 KV cache (quarter the KV stream, two "
+                             "values per byte; coarser than int8 — "
+                             "throughput-over-quality serving)")
     parser.add_argument("--turbo", action="store_true",
                         help="W4A8 decode matmuls + int8 KV cache "
                              "(fastest; small activation-quant noise)")
@@ -118,6 +122,8 @@ def make_config(args) -> ExLlamaConfig:
     config.tuning.attn_len_bucket = args.attn_bucket
     if getattr(args, "kv_int8", False) or getattr(args, "turbo", False):
         config.tuning.kv_cache_dtype = "int8"
+    if getattr(args, "kv_int4", False):
+        config.tuning.kv_cache_dtype = "int4"
     if getattr(args, "turbo", False) and args.matmul_impl == "auto":
         config.tuning.matmul_impl = (
             "pallas_a8t" if getattr(args, "turbo_prefill", False)

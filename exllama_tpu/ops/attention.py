@@ -68,6 +68,41 @@ def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def quantize_kv_rows4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric INT4 quantization of [B, T, Hkv, D]
+    rows, PACKED two values per byte along D.
+
+    Returns (int8 [B, T, Hkv, D/2] packed bytes, f32 scales [B, T, Hkv]).
+    Byte d pairs dims (d, d + D/2): low nibble = q_lo + 8 exactly, high
+    nibble = (q_hi + 8) ^ 8 — the same top-bit-flip as the npair weight
+    layout, so the SIGNED byte equals 16·q_hi + q_lo + 8 and the kernel
+    unpack is one mask + two converts:
+
+        q_hi = (byte & 0xF0) · 1/16        q_lo = (byte & 0x0F) − 8
+
+    with q ∈ [−7, 7] and scale = amax/7. Cache arrays keep dtype int8;
+    int4 packing is detected by shape (last dim == head_dim // 2)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)                 # [B, T, Hkv]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(
+        jnp.round(xf / scale[..., None]), -7, 7
+    ).astype(jnp.int32) + 8                              # [1, 15]
+    d = x.shape[-1]
+    lo = q[..., : d // 2]
+    hi = q[..., d // 2 :] ^ 8
+    return (lo | (hi << 4)).astype(jnp.int8), scale
+
+
+def unpack_kv4(packed: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """[..., D/2] int4-packed bytes → [..., D] raw values q ∈ [−8, 7]
+    (scale NOT applied — callers fold the per-row scale like the int8
+    path). Inverse of the packing in :func:`quantize_kv_rows4`."""
+    lo = (packed & 0x0F).astype(dtype) - 8.0
+    hi = (packed & (-16)).astype(dtype) * 0.0625
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def _write_at(cache: jax.Array, new: jax.Array, past_len: jax.Array):
     """dynamic_update_slice of [B, Hkv, T, ...] into [B, Hkv, S, ...] at
     sequence offset past_len (scalar, or [B] for per-slot cursors)."""
@@ -104,8 +139,13 @@ def update_kv_cache(
     None scales for bf16 caches.
     """
     if k_scale is not None:
-        qk, sk = quantize_kv_rows(new_k)
-        qv, sv = quantize_kv_rows(new_v)
+        quant = (
+            quantize_kv_rows4
+            if k_cache.shape[-1] != new_k.shape[-1]    # packed int4 cache
+            else quantize_kv_rows
+        )
+        qk, sk = quant(new_k)
+        qv, sv = quant(new_v)
         k_cache = _write_at(k_cache, jnp.swapaxes(qk, 1, 2), past_len)
         v_cache = _write_at(v_cache, jnp.swapaxes(qv, 1, 2), past_len)
         k_scale = _write_at(k_scale, jnp.swapaxes(sk, 1, 2), past_len)
@@ -232,8 +272,13 @@ def commit_kv_cache(
     b = new_k.shape[1]
     per_slot = past_len.ndim == 1
     if quantized:
-        qk, sk = quantize_kv_rows(new_k)       # [L,B,1,Hkv,D], [L,B,1,Hkv]
-        qv, sv = quantize_kv_rows(new_v)
+        quant = (
+            quantize_kv_rows4
+            if k_caches[0].shape[-1] != new_k.shape[-1]  # packed int4 cache
+            else quantize_kv_rows
+        )
+        qk, sk = quant(new_k)                  # [L,B,1,Hkv,D(/2)], [L,B,1,Hkv]
+        qv, sv = quant(new_v)
         nk = jnp.swapaxes(qk, 2, 3)            # [L, B, Hkv, 1, D] int8
         nv = jnp.swapaxes(qv, 2, 3)
         nks = jnp.swapaxes(sk, 2, 3)           # [L, B, Hkv, 1] f32
@@ -310,6 +355,9 @@ def attend_xla(
 
     k = k_cache[:, :, :attend_len]
     v = v_cache[:, :, :attend_len]
+    if k_cache.shape[-1] != d:                 # packed int4 KV (D/2 bytes)
+        k = unpack_kv4(k, jnp.float32)
+        v = unpack_kv4(v, jnp.float32)
     if k_scale is not None:
         k = (
             k.astype(jnp.float32) * k_scale[:, :, :attend_len, None]
@@ -410,7 +458,9 @@ def _flash_kernel(
     def _():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
-        if k.dtype == jnp.int8:
+        if k.shape[-1] != q.shape[-1]:  # packed int4 KV: D/2 bytes
+            k = unpack_kv4(k)
+        elif k.dtype == jnp.int8:
             k = k.astype(jnp.bfloat16)  # raw ints, exact in bf16 (<=127)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -442,7 +492,11 @@ def _flash_kernel(
         if v.dtype == jnp.int8:
             # fold the per-row V scale into p before the contraction
             p = p * vs_ref[0, 0]
-            v = v.astype(jnp.bfloat16)
+            v = (
+                unpack_kv4(v)
+                if v.shape[-1] != q_ref.shape[-1]   # packed int4 KV
+                else v.astype(jnp.bfloat16)
+            )
         o_curr = jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )  # [R, D]
@@ -532,12 +586,13 @@ def _attend_flash_padded(
         scale=1.0 / (d ** 0.5),
         have_bias=bias is not None,
     )
+    dk = k_cache.shape[-1]      # D, or D/2 for packed int4 caches
     in_specs = [
         pl.BlockSpec((1, 1, rt, d), lambda b, h, qi, si, *_: (b, h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, d), lambda b, h, qi, si, *_: (b, h, si, 0),
+        pl.BlockSpec((1, 1, bk, dk), lambda b, h, qi, si, *_: (b, h, si, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, d), lambda b, h, qi, si, *_: (b, h, si, 0),
+        pl.BlockSpec((1, 1, bk, dk), lambda b, h, qi, si, *_: (b, h, si, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qr, k_cache, v_cache]

@@ -230,7 +230,11 @@ def _layer_tail_kernel(
     def _():
         q = q_tile()
         k = k_ref[0, 0]
-        if k.dtype == jnp.int8:
+        if k.shape[-1] != d:        # packed int4 KV (D/2 bytes)
+            from exllama_tpu.ops.attention import unpack_kv4
+
+            k = unpack_kv4(k)
+        elif k.dtype == jnp.int8:
             k = k.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -260,7 +264,12 @@ def _layer_tail_kernel(
         v = v_ref[0, 0]
         if v.dtype == jnp.int8:
             p = p * vs_ref[0, 0]
-            v = v.astype(jnp.bfloat16)
+            if v.shape[-1] != d:    # packed int4 KV
+                from exllama_tpu.ops.attention import unpack_kv4
+
+                v = unpack_kv4(v)
+            else:
+                v = v.astype(jnp.bfloat16)
         acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -417,7 +426,8 @@ def attn_o_applicable(
     jax.jit,
     static_argnames=(
         "attend_len", "g", "groupsize", "bn_o", "bn_a", "bn_f", "bn_b",
-        "inter", "heads", "nq_pad", "nkv_pad", "eps", "interpret", "a8",
+        "inter", "heads", "head_dim", "nq_pad", "nkv_pad", "eps",
+        "interpret", "a8",
     ),
 )
 def _layer_tail_call(
@@ -449,6 +459,7 @@ def _layer_tail_call(
     bn_b: int = 0,
     inter: int = 0,
     heads: int = 0,
+    head_dim: int = 0,
     nq_pad: int = 0,
     nkv_pad: int = 0,
     eps: float = 0.0,
@@ -458,7 +469,8 @@ def _layer_tail_call(
     if qr is not None:
         b, hkv, r, d = qr.shape
     else:                        # qkv fusion: q is computed in-kernel
-        b, hkv, _, d = k_cache.shape
+        b, hkv = k_cache.shape[:2]
+        d = head_dim             # cache may be int4-packed (D/2 wide)
         r = max(8, g)
     bm, k1p = h2.shape           # k1p = residual width (padded_n(hidden))
     ko = oq.shape[0] * 4         # o-proj K = heads·head_dim (attn width)
@@ -516,12 +528,13 @@ def _layer_tail_call(
             memory_space=pltpu.VMEM,
         ))
         args.append(qr)
+    dk = k_cache.shape[-1]       # D, or D/2 for packed int4 caches
     in_specs += [
-        pl.BlockSpec((1, 1, bk, d),
+        pl.BlockSpec((1, 1, bk, dk),
                      lambda t, *_: (cphase(t)[0], cphase(t)[1],
                                     cphase(t)[2], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, d),
+        pl.BlockSpec((1, 1, bk, dk),
                      lambda t, *_: (cphase(t)[0], cphase(t)[1],
                                     cphase(t)[2], 0),
                      memory_space=pltpu.VMEM),
@@ -949,6 +962,7 @@ def layer_step(
         qkv.qweight, qkv.scales, qkv.zscale, sin_op, cos_op,
         attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
         bn_a=bn_a, bn_f=bn_f, bn_b=bn_b, inter=inter, heads=heads,
+        head_dim=d,
         nq_pad=padded_n(heads * d), nkv_pad=padded_n(kv_heads * d),
         eps=float(eps),
         interpret=impl.endswith("_interpret"),

@@ -180,3 +180,127 @@ def test_int8_generator_end_to_end():
     gen.settings.top_k = 1
     out = gen.generate_simple("hello world", max_new_tokens=8)
     assert isinstance(out, str) and len(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# int4 KV cache (packed two-per-byte along D — quarter the stream)
+# ---------------------------------------------------------------------------
+
+def test_quantize_kv_rows4_roundtrip():
+    from exllama_tpu.ops.attention import quantize_kv_rows4, unpack_kv4
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 5, 3, 64)) * 0.3, jnp.bfloat16)
+    q, s = quantize_kv_rows4(x)
+    assert q.dtype == jnp.int8 and q.shape == (2, 5, 3, 32)
+    assert s.shape == (2, 5, 3)
+    back = np.asarray(unpack_kv4(jnp.asarray(q), jnp.float32)) \
+        * np.asarray(s)[..., None]
+    ref = np.asarray(x, np.float32)
+    err = np.abs(back - ref).max()
+    assert err <= np.abs(ref).max() / 7 + 1e-6      # int4 step bound
+
+
+@pytest.mark.parametrize("impl", ["xla", "flash_interpret"])
+def test_attend_int4_close_to_bf16(impl):
+    rng = np.random.default_rng(8)
+    b, t, h, d, s_max = 1, 4, 4, 128, 32
+    hkv = 2
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)) * 0.5, jnp.bfloat16)
+    nk = jnp.asarray(rng.standard_normal((b, 8, hkv, d)) * 0.5, jnp.bfloat16)
+    nv = jnp.asarray(rng.standard_normal((b, 8, hkv, d)) * 0.5, jnp.bfloat16)
+
+    kc_b = jnp.zeros((b, hkv, s_max, d), jnp.bfloat16)
+    vc_b = jnp.zeros((b, hkv, s_max, d), jnp.bfloat16)
+    kc_b, vc_b, _, _ = update_kv_cache(kc_b, vc_b, nk, nv, jnp.int32(0))
+
+    kc_q = jnp.zeros((b, hkv, s_max, d // 2), jnp.int8)   # packed int4
+    vc_q = jnp.zeros((b, hkv, s_max, d // 2), jnp.int8)
+    ks = jnp.zeros((b, hkv, s_max), jnp.float32)
+    vs = jnp.zeros((b, hkv, s_max), jnp.float32)
+    kc_q, vc_q, ks, vs = update_kv_cache(
+        kc_q, vc_q, nk, nv, jnp.int32(0), ks, vs
+    )
+
+    past = jnp.int32(4)
+    ref = np.asarray(attend(q, kc_b, vc_b, past, 32, impl="xla"), np.float32)
+    got = np.asarray(
+        attend(q, kc_q, vc_q, past, 32, impl=impl, k_scale=ks, v_scale=vs),
+        np.float32,
+    )
+    # int4 noise floor is ~18x int8's; still bounded per row
+    assert np.abs(got - ref).max() < 0.35
+    # and the two impls agree with each other tightly
+    if impl == "flash_interpret":
+        oracle = np.asarray(
+            attend(q, kc_q, vc_q, past, 32, impl="xla",
+                   k_scale=ks, v_scale=vs),
+            np.float32,
+        )
+        assert np.abs(got - oracle).max() < 0.03
+
+
+def test_int4_cache_forward_and_decode():
+    cfg_b = tiny_config()
+    cfg_q = tiny_config()
+    cfg_q.tuning.kv_cache_dtype = "int4"
+    params = make_synthetic_params(cfg_b, 32, False, seed=9)
+    m_b = ExLlama(cfg_b, params=params)
+    m_q = ExLlama(cfg_q, params=params)
+
+    cache_b = ExLlamaCache(m_b)
+    cache_q = ExLlamaCache(m_q)
+    assert cache_q.state.k[0].dtype == jnp.int8
+    assert cache_q.state.k[0].shape[-1] == cfg_b.head_dim // 2
+    assert cache_q.state.k_scale is not None
+
+    ids = (np.arange(12, dtype=np.int32)[None] * 7 + 3) % cfg_b.vocab_size
+    lb = np.asarray(m_b.forward(ids, cache_b, last_id_only=False), np.float32)
+    lq = np.asarray(m_q.forward(ids, cache_q, last_id_only=False), np.float32)
+    scale = np.abs(lb).max() + 1e-9
+    assert np.abs(lb - lq).max() / scale < 0.45    # int4 noise, bounded
+
+    # deferred-commit decode steps run and stay finite/close
+    for tok in (5, 9, 2):
+        tb = np.asarray(
+            m_b.forward(np.array([[tok]], np.int32), cache_b), np.float32
+        )
+        tq = np.asarray(
+            m_q.forward(np.array([[tok]], np.int32), cache_q), np.float32
+        )
+        assert np.abs(tb - tq).max() / (np.abs(tb).max() + 1e-9) < 0.45
+    assert cache_q.current_seq_len == cache_b.current_seq_len == 15
+
+
+def test_int4_megakernel_matches_oracle():
+    """Fused layer-tail decode (flash_interpret) with an int4 cache matches
+    the xla-attention path on the same int4 cache (same quantized data —
+    tight tolerance; only impl differs)."""
+    cfg_a = tiny_config(kv_heads=2)
+    cfg_a.head_dim = 128
+    cfg_a.hidden_size = 512
+    cfg_a.num_attention_heads = 4
+    cfg_a.tuning.kv_cache_dtype = "int4"
+    cfg_a.tuning.matmul_impl = "pallas_interpret"
+    cfg_a.tuning.attn_impl = "flash_interpret"
+    params = make_synthetic_params(cfg_a, 128, False, seed=10)
+    m_a = ExLlama(cfg_a, params=params)
+    cache_a = ExLlamaCache(m_a)
+
+    cfg_o = tiny_config(kv_heads=2)
+    cfg_o.head_dim = 128
+    cfg_o.hidden_size = 512
+    cfg_o.num_attention_heads = 4
+    cfg_o.tuning.kv_cache_dtype = "int4"
+    cfg_o.tuning.matmul_impl = "pallas_interpret"
+    cfg_o.tuning.attn_impl = "xla"
+    m_o = ExLlama(cfg_o, params=params)
+    cache_o = ExLlamaCache(m_o)
+
+    ids = (np.arange(10, dtype=np.int32)[None] * 5 + 1) % cfg_a.vocab_size
+    m_a.forward(ids, cache_a, preprocess_only=True)
+    m_o.forward(ids, cache_o, preprocess_only=True)
+    got = np.asarray(m_a.forward(np.array([[7]], np.int32), cache_a))
+    ref = np.asarray(m_o.forward(np.array([[7]], np.int32), cache_o))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 0.04
