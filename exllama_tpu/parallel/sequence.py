@@ -108,6 +108,11 @@ def sp_attend(
     """
     b, t, h, d = q.shape
     s_loc = k_shard.shape[2]
+    if k_shard.shape[-1] != d:     # packed int4 KV (D/2 bytes)
+        from exllama_tpu.ops.attention import unpack_kv4
+
+        k_shard = unpack_kv4(k_shard, jnp.float32)
+        v_shard = unpack_kv4(v_shard, jnp.float32)
     if k_scale is not None:
         k_shard = (
             k_shard.astype(jnp.float32) * k_scale[..., None]
@@ -156,10 +161,18 @@ def sp_update_kv_cache(
     idx = jax.lax.axis_index(axis)
     quantized = k_scale is not None
     if quantized:
-        from exllama_tpu.ops.attention import quantize_kv_rows
+        from exllama_tpu.ops.attention import (
+            quantize_kv_rows,
+            quantize_kv_rows4,
+        )
 
-        qk, sk = quantize_kv_rows(new_k)      # [B,T,Hkv,D], [B,T,Hkv]
-        qv, sv = quantize_kv_rows(new_v)
+        quant = (
+            quantize_kv_rows4
+            if k_shard.shape[-1] != new_k.shape[-1]   # packed int4 cache
+            else quantize_kv_rows
+        )
+        qk, sk = quant(new_k)                 # [B,T,Hkv,D(/2)], [B,T,Hkv]
+        qv, sv = quant(new_v)
         nk = jnp.swapaxes(qk, 1, 2)           # [B, Hkv, T, D]
         nv = jnp.swapaxes(qv, 1, 2)
         nks = jnp.swapaxes(sk, 1, 2)          # [B, Hkv, T]
@@ -168,19 +181,21 @@ def sp_update_kv_cache(
         nk = jnp.swapaxes(new_k, 1, 2)        # [B, Hkv, T, D]
         nv = jnp.swapaxes(new_v, 1, 2)
 
+    dw = nk.shape[-1]            # D, or D/2 for packed int4 rows
+
     def write_one(i, carry):
         kc, vc, ksc, vsc = carry
         p = past_len.astype(jnp.int32) + i
         own = (p // s_loc) == idx
         loc = p % s_loc
         krow = jax.lax.dynamic_slice(
-            nk, (0, 0, i, 0), (b, hkv, 1, d)
+            nk, (0, 0, i, 0), (b, hkv, 1, dw)
         ).astype(kc.dtype)
         vrow = jax.lax.dynamic_slice(
-            nv, (0, 0, i, 0), (b, hkv, 1, d)
+            nv, (0, 0, i, 0), (b, hkv, 1, dw)
         ).astype(vc.dtype)
-        kcur = jax.lax.dynamic_slice(kc, (0, 0, loc, 0), (b, hkv, 1, d))
-        vcur = jax.lax.dynamic_slice(vc, (0, 0, loc, 0), (b, hkv, 1, d))
+        kcur = jax.lax.dynamic_slice(kc, (0, 0, loc, 0), (b, hkv, 1, dw))
+        vcur = jax.lax.dynamic_slice(vc, (0, 0, loc, 0), (b, hkv, 1, dw))
         kc = jax.lax.dynamic_update_slice(
             kc, jnp.where(own, krow, kcur), (0, 0, loc, 0)
         )

@@ -289,3 +289,73 @@ def test_sp_model_decode_matches_forward_chunk(kv_dtype):
         )
         seq2.append(int(np.argmax(lg[0, -1])))
     assert seq2 == seq
+
+
+@pytest.mark.parametrize("past", [0, 17, 63])
+def test_sp_attend_int4_matches_single_device(past):
+    """packed int4 KV × sp: sharded unpack-dequant-attend == single-device
+    int4 attend (same packed data → tight agreement)."""
+    from exllama_tpu.ops.attention import quantize_kv_rows4
+
+    mesh, q, kc, vc = _mk(6)
+    qk, sk = quantize_kv_rows4(jnp.swapaxes(kc, 1, 2))  # [B,S,HKV,D/2]
+    qv, sv = quantize_kv_rows4(jnp.swapaxes(vc, 1, 2))
+    kc_q = jnp.swapaxes(qk, 1, 2)                       # [B,HKV,S,D/2] int8
+    vc_q = jnp.swapaxes(qv, 1, 2)
+    ks = jnp.swapaxes(sk, 1, 2)
+    vs = jnp.swapaxes(sv, 1, 2)
+
+    ref = attend_xla(q, kc_q, vc_q, jnp.int32(past), S,
+                     k_scale=ks, v_scale=vs)
+
+    spec_kv = P(None, None, "sp", None)
+    spec_sc = P(None, None, "sp")
+    fn = shard_map(
+        lambda q, kc, vc, p, ks, vs: sp_attend(
+            q, kc, vc, p, axis="sp", k_scale=ks, v_scale=vs
+        ),
+        mesh=mesh,
+        in_specs=(P(None), spec_kv, spec_kv, P(), spec_sc, spec_sc),
+        out_specs=P(None),
+    )
+    got = fn(q, kc_q, vc_q, jnp.int32(past), ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_sp_cache_write_int4_matches_dense():
+    """Owner-masked int4 writes match the dense int4 update."""
+    from exllama_tpu.ops.attention import update_kv_cache
+
+    mesh, q, kc, vc = _mk(7)
+    b, hkv, d = kc.shape[0], kc.shape[1], kc.shape[3]
+    rng = np.random.default_rng(12)
+    nk = jnp.asarray(rng.standard_normal((b, 1, hkv, d)) * 0.5, jnp.bfloat16)
+    nv = jnp.asarray(rng.standard_normal((b, 1, hkv, d)) * 0.5, jnp.bfloat16)
+    past = jnp.int32(21)
+
+    kc_q = jnp.zeros((b, hkv, S, d // 2), jnp.int8)
+    vc_q = jnp.zeros((b, hkv, S, d // 2), jnp.int8)
+    ks = jnp.zeros((b, hkv, S), jnp.float32)
+    vs = jnp.zeros((b, hkv, S), jnp.float32)
+    ref_k, ref_v, ref_ks, ref_vs = update_kv_cache(
+        kc_q, vc_q, nk, nv, past, ks, vs
+    )
+
+    spec_kv = P(None, None, "sp", None)
+    spec_sc = P(None, None, "sp")
+    fn = shard_map(
+        lambda kc, vc, nk, nv, p, ks, vs: sp_update_kv_cache(
+            kc, vc, nk, nv, p, axis="sp", k_scale=ks, v_scale=vs
+        ),
+        mesh=mesh,
+        in_specs=(spec_kv, spec_kv, P(None), P(None), P(),
+                  spec_sc, spec_sc),
+        out_specs=(spec_kv, spec_kv, spec_sc, spec_sc),
+    )
+    got_k, got_v, got_ks, got_vs = fn(kc_q, vc_q, nk, nv, past, ks, vs)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(got_ks), np.asarray(ref_ks))
+    np.testing.assert_allclose(np.asarray(got_vs), np.asarray(ref_vs))
