@@ -13,12 +13,20 @@ def build_from_args(description, batch_size=1, extra_args=None):
                         choices=["tiny", "7b"],
                         help="fabricated checkpoint instead of -d")
     parser.add_argument("--groupsize", type=int, default=128)
+    parser.add_argument("--max_new", type=int, default=None,
+                        help="override each example's generation length "
+                             "(smoke tests pass a small value)")
     parser.add_argument("--act_order", action="store_true")
     if extra_args:
         extra_args(parser)
     args = parser.parse_args()
 
     if args.synthetic:
+        # honor --cpu BEFORE first device use (model_init.build does this
+        # on the real-checkpoint path; without it a --synthetic --cpu run
+        # still initializes the TPU plugin — and hangs if the tunnel is
+        # down)
+        model_init.apply_platform(args)
         import benchmark as bench_mod
 
         cfg, model, tokenizer = bench_mod.build_synthetic(

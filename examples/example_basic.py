@@ -16,4 +16,5 @@ generator.settings.top_p = 0.65
 generator.settings.top_k = 100
 
 prompt = "Once upon a time,"
-print(generator.generate_simple(prompt, max_new_tokens=200))
+print(generator.generate_simple(prompt,
+                                max_new_tokens=args.max_new or 200))

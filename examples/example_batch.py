@@ -19,6 +19,8 @@ args, cfg, model, tokenizer, cache = build_from_args(
 generator = ExLlamaGenerator(model, tokenizer, cache)
 generator.settings.top_k = 40
 
-for line in generator.generate_simple(prompts, max_new_tokens=100):
+for line in generator.generate_simple(
+    prompts, max_new_tokens=args.max_new or 100
+):
     print(line)
     print("---")

@@ -23,5 +23,7 @@ generator = ExLlamaGenerator(model, tokenizer, cache)
 for i in range(10):
     alpha = i / 5.0 - 0.4
     print(f"\n----- alpha = {alpha:.1f} -----")
-    output = generator.generate_cfg(prompts, alpha, max_new_tokens=200)
+    output = generator.generate_cfg(
+        prompts, alpha, max_new_tokens=args.max_new or 200
+    )
     print(output[len(prompts[0]):].strip())

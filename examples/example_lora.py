@@ -26,5 +26,5 @@ generator = ExLlamaGenerator(model, tokenizer, cache)
 generator.lora = lora
 print(generator.generate_simple(
     "### Instruction:\nList five ways to improve attention.\n### Response:",
-    max_new_tokens=200,
+    max_new_tokens=args.max_new or 200,
 ))

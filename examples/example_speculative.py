@@ -6,6 +6,11 @@ almost the same as one token — accepted drafts are nearly free throughput.
 Output distribution is unchanged (exact-match acceptance).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from common import build_from_args
 
 from exllama_tpu.speculative import (
@@ -16,7 +21,7 @@ from exllama_tpu.speculative import (
 
 
 def main():
-    _, cfg, model, tokenizer, cache = build_from_args(
+    args, cfg, model, tokenizer, cache = build_from_args(
         "Speculative decoding example"
     )
 
@@ -26,7 +31,8 @@ def main():
     )
     gen.settings.top_k = 1  # greedy (identical to plain greedy decoding)
     text = gen.generate_simple(
-        "def fibonacci(n):\n    ", max_new_tokens=128
+        "def fibonacci(n):\n    ",
+        max_new_tokens=args.max_new or 128
     )
     print(text)
     print(
