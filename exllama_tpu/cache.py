@@ -122,6 +122,16 @@ class ExLlamaCache:
         self.shape = shape
         self.dtype = dtype
         d_store = shape[4] // 2 if int4 else shape[4]
+        if (
+            model is not None
+            and model.config.tuning.pad_head_dim
+            and not int4
+        ):
+            from exllama_tpu.ops.attention import flash_supported_head_dim
+
+            d = shape[4]
+            if not flash_supported_head_dim(d):
+                d_store = 64 if d <= 64 else -(-d // 128) * 128
         layer_shape = (shape[1], shape[3], shape[2], d_store)   # B,Hkv,S,D*
         scale_shape = layer_shape[:3]                           # B,Hkv,S
         quantized = jnp.dtype(dtype) == jnp.int8

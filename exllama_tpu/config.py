@@ -73,6 +73,12 @@ class TuningParams:
     # Default off until validated on real TPU hardware (interpret-mode
     # numerics match the separate-kernel path exactly).
     fuse_qkv: bool = False
+    # Allocate the KV cache with head_dim zero-padded to a flash-legal
+    # width (64 or a multiple of 128): odd head dims (OpenLlama-3B's 100)
+    # then use the Pallas flash kernel instead of the einsum fallback that
+    # materializes the score matrix. Exact (pad columns contribute 0);
+    # costs the pad fraction in KV memory. Incompatible with int4 KV.
+    pad_head_dim: bool = False
     # Fold the act-order down-proj activation permutation into the gate/up
     # OUTPUT column order at load time: silu(gate)·up then emerges already
     # in the order down's group-sequential rows expect, so down loses its

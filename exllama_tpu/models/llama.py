@@ -227,6 +227,20 @@ def _decoder_layer(
     v = v.reshape(b, t, cfg_kv_heads, cfg_head_dim)
     q = apply_rope_sliced(q, rope_sin, rope_cos)
     k = apply_rope_sliced(k, rope_sin, rope_cos)
+    # Padded-head-dim cache (tuning.pad_head_dim): odd head dims (e.g.
+    # OpenLlama-3B's 100) ride the flash kernel by zero-padding q/k/v to
+    # the cache's lane-legal width — pad columns contribute exactly 0 to
+    # the scores and produce 0 output columns (sliced off below).
+    d_pad = kc.shape[-1] - cfg_head_dim
+    if d_pad > 0:
+        pad4 = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        # attend() scales scores by 1/sqrt(padded_d); pre-scale q so the
+        # effective softmax scale stays 1/sqrt(true head_dim)
+        f = (kc.shape[-1] / cfg_head_dim) ** 0.5
+        q = (q.astype(jnp.float32) * f).astype(q.dtype)
+        q = jnp.pad(q, pad4)
+        k = jnp.pad(k, pad4)
+        v = jnp.pad(v, pad4)
     k_row = v_row = None
     if defer_kv:
         # deferred commit (T=1): attend folds the in-flight row in; the
@@ -282,6 +296,8 @@ def _decoder_layer(
         attn = attend(q, kc, vc, past_len, attend_len, input_mask,
                       impl=attn_impl, k_scale=ksc, v_scale=vsc)
     if attn is not None:
+        if d_pad > 0:
+            attn = attn[..., :cfg_head_dim]
         h = h + proj(attn.reshape(b, t, cfg_heads * cfg_head_dim), lp.o, "o")
 
     # --- MLP (reference ExLlamaMLP.forward, model.py:266-273)
@@ -531,7 +547,10 @@ class ExLlama:
             impl = (
                 "flash"
                 if jax.default_backend() == "tpu"
-                and flash_supported_head_dim(self.config.head_dim)
+                and (
+                    flash_supported_head_dim(self.config.head_dim)
+                    or self.config.tuning.pad_head_dim
+                )
                 else "xla"
             )
         return impl

@@ -17,6 +17,14 @@ if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Use a machine-local XLA compile cache: the default shared cache can hold
+# executables compiled on hosts with different CPU features (see the
+# cpu_aot_loader machine-feature warnings), and deserializing those can
+# SIGILL/segfault mid-suite. A dir this host populates itself is safe and
+# keeps repeat suite runs fast.
+jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/exllama_tpu_test_xla_cache"
+)
 
 import pytest  # noqa: E402
 
