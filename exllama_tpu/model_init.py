@@ -41,6 +41,11 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("--kv_int8", action="store_true",
                         help="int8 KV cache (halves the KV stream; "
                              "per-token-per-head scales)")
+    parser.add_argument("--pad_head_dim", action="store_true",
+                        help="pad odd head dims (e.g. 100) to a "
+                             "flash-legal width in the KV cache so the "
+                             "Pallas flash kernel applies (exact; costs "
+                             "the pad fraction in KV memory)")
     parser.add_argument("--kv_int4", action="store_true",
                         help="int4 KV cache (quarter the KV stream, two "
                              "values per byte; coarser than int8 — "
@@ -124,6 +129,8 @@ def make_config(args) -> ExLlamaConfig:
         config.tuning.kv_cache_dtype = "int8"
     if getattr(args, "kv_int4", False):
         config.tuning.kv_cache_dtype = "int4"
+    if getattr(args, "pad_head_dim", False):
+        config.tuning.pad_head_dim = True
     if getattr(args, "turbo", False) and args.matmul_impl == "auto":
         config.tuning.matmul_impl = (
             "pallas_a8t" if getattr(args, "turbo_prefill", False)
