@@ -323,3 +323,46 @@ def test_spec_mode_max_new_tokens_exact(model):
                      stop_tokens=(-1,))
     eng.run()
     assert len(req.new_tokens) == 5
+
+
+def test_engine_int4_kv_with_spec_mode():
+    """Continuous batching over an int4 KV cache, speculative mode on:
+    packed-cache writes (masked K+1 spec rows + deferred decode commits)
+    and flash reads all ride the D/2 discriminator."""
+    import dataclasses as dc
+
+    from exllama_tpu.speculative import NgramProposer
+
+    cfg = ExLlamaConfig()
+    cfg.hidden_size = 256
+    cfg.intermediate_size = 512
+    cfg.num_attention_heads = 4
+    cfg.num_key_value_heads = 2
+    cfg.head_dim = 64
+    cfg.num_hidden_layers = 2
+    cfg.vocab_size = 260
+    cfg.max_seq_len = 128
+    cfg.tuning.matmul_impl = "xla"
+    cfg.tuning.kv_cache_dtype = "int4"
+    cfg.tuning.attn_len_bucket = 32
+    m = ExLlama(cfg, params=make_synthetic_params(cfg, 128, False, seed=31))
+
+    eng = ContinuousBatchingEngine(
+        m, FakeTokenizer(), max_slots=3, prefill_bucket=16,
+        spec_proposer=NgramProposer(max_ngram=3, max_draft=4),
+    )
+    assert eng.cache.state.k[0].shape[-1] == cfg.head_dim // 2
+    prompt = np.asarray([5, 9, 5, 9, 5, 9, 5, 9], np.int32)  # ngram-friendly
+    reqs = [
+        eng.submit(prompt + i, max_new_tokens=8, settings=GREEDY,
+                   stop_tokens=(-1,))
+        for i in range(3)
+    ]
+    steps = 0
+    while eng.has_work():
+        eng.step()
+        steps += 1
+        assert steps < 80
+    for r in reqs:
+        assert len(r.new_tokens) == 8
+        assert all(0 <= t < cfg.vocab_size for t in r.new_tokens)
