@@ -27,7 +27,7 @@ cfg.intermediate_size = 13824
 cfg.num_attention_heads = 40
 cfg.num_key_value_heads = 40
 cfg.head_dim = 128
-cfg.num_hidden_layers = 40
+cfg.num_hidden_layers = int(os.environ.get("B13_LAYERS", "40"))
 cfg.vocab_size = 32000
 cfg.max_seq_len = 2048
 cfg.max_input_len = 2048
@@ -89,3 +89,76 @@ for _ in range(3):
 dt = min(ts) / decode_len
 log(f"13B act={_act} worst decode: {dt*1e3:.2f} ms/tok = {1/dt:.1f} tok/s "
     f"(reference 13B g128 non-act 4090: 86 tok/s worst)")
+
+
+# --- whole-layer megakernel (tuning.fuse_qkv), exact numerics; act-order
+# checkpoints skip it (gates reject x_map qkv) so this mainly matters for
+# B13_ACT=0 runs. Guarded like bench.py.
+if not _act:
+    try:
+        step_f = functools.partial(
+            forward_chunk, attend_len=cfg.max_seq_len, last_token_only=True,
+            preprocess_only=False, heads=cfg.num_attention_heads,
+            kv_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+            eps=cfg.rms_norm_eps, matmul_impl="pallas", qkv_fuse=True,
+        )
+
+        @functools.partial(jax.jit, donate_argnames=("kv",))
+        def decode_f(params, kv, tok, past):
+            def body(i, c):
+                kv, tok, pos = c
+                lg, kv = step_f(params, kv, tok, pos, None, None)
+                return (kv,
+                        jnp.argmax(lg[:, -1, :], -1)[:, None].astype(
+                            jnp.int32),
+                        pos + 1)
+            kv, tok, pos = jax.lax.fori_loop(
+                0, decode_len, body, (kv, tok, past))
+            return kv, tok
+
+        kv, tok = decode_f(model.params, kv, tok0, past)
+        np.asarray(tok).ravel()[0]
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            kv, tok = decode_f(model.params, kv, tok0, past)
+            np.asarray(tok).ravel()[0]
+            ts.append(time.perf_counter() - t0)
+        dtf = min(ts) / decode_len
+        log(f"13B megakernel decode: {dtf*1e3:.2f} ms/tok = "
+            f"{1/dtf:.1f} tok/s")
+    except Exception as e:
+        log(f" !! megakernel decode failed ({type(e).__name__})")
+
+# --- turbo (W4A8) decode
+try:
+    step_t = functools.partial(
+        forward_chunk, attend_len=cfg.max_seq_len, last_token_only=True,
+        preprocess_only=False, heads=cfg.num_attention_heads,
+        kv_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+        eps=cfg.rms_norm_eps, matmul_impl="pallas_a8",
+    )
+
+    @functools.partial(jax.jit, donate_argnames=("kv",))
+    def decode_t(params, kv, tok, past):
+        def body(i, c):
+            kv, tok, pos = c
+            lg, kv = step_t(params, kv, tok, pos, None, None)
+            return (kv,
+                    jnp.argmax(lg[:, -1, :], -1)[:, None].astype(jnp.int32),
+                    pos + 1)
+        kv, tok, pos = jax.lax.fori_loop(0, decode_len, body, (kv, tok, past))
+        return kv, tok
+
+    kv, tok = decode_t(model.params, kv, tok0, past)
+    np.asarray(tok).ravel()[0]
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kv, tok = decode_t(model.params, kv, tok0, past)
+        np.asarray(tok).ravel()[0]
+        ts.append(time.perf_counter() - t0)
+    dtt = min(ts) / decode_len
+    log(f"13B turbo decode: {dtt*1e3:.2f} ms/tok = {1/dtt:.1f} tok/s")
+except Exception as e:
+    log(f" !! turbo decode failed ({type(e).__name__})")
