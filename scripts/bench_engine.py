@@ -1,0 +1,84 @@
+"""Continuous-batching engine throughput on one chip (the 'Batched decode'
+table in docs/PERFORMANCE.md): aggregate decode tok/s at several slot
+counts, plus a speculative-mode row on ngram-friendly prompts.
+
+Run from the repo root on the TPU. ENGINE_LAYERS overrides depth for smoke
+runs."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from exllama_tpu.config import ExLlamaConfig
+from exllama_tpu.formats.loader import make_synthetic_params
+from exllama_tpu.models.llama import ExLlama
+from exllama_tpu.ops.sampling import SamplerSettings
+from exllama_tpu.serve import ContinuousBatchingEngine
+from exllama_tpu.speculative import NgramProposer
+from exllama_tpu.tokenizer import FakeTokenizer
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def build(ctx):
+    cfg = ExLlamaConfig()                       # 7B shapes
+    cfg.num_hidden_layers = int(os.environ.get("ENGINE_LAYERS", "32"))
+    cfg.max_seq_len = ctx
+    cfg.max_input_len = ctx
+    cfg.max_attention_size = ctx ** 2
+    params = make_synthetic_params(cfg, 128, False, seed=0, fast=True)
+    return ExLlama(cfg, params=params)
+
+
+GREEDY = SamplerSettings(temperature=1.0, top_k=1, top_p=0.0,
+                         token_repetition_penalty_max=1.0)
+
+
+def run_config(slots, ctx, spec=False, steps=48):
+    model = build(ctx)
+    eng = ContinuousBatchingEngine(
+        model, FakeTokenizer(), max_slots=slots, prefill_bucket=256,
+        spec_proposer=NgramProposer(max_ngram=3, max_draft=6)
+        if spec else None,
+    )
+    rng = np.random.default_rng(1)
+    prompt_len = ctx - steps - 8
+    for i in range(slots):
+        if spec:   # repetitive prompts so prompt-lookup drafts accept
+            base = rng.integers(0, 32000, size=16).astype(np.int32)
+            prompt = np.tile(base, prompt_len // 16 + 1)[:prompt_len]
+        else:
+            prompt = rng.integers(0, 32000, size=prompt_len).astype(np.int32)
+        eng.submit(prompt, max_new_tokens=10_000, settings=GREEDY,
+                   stop_tokens=(-1,))
+    # admit + warm the decode step
+    warm = 0
+    while any(r.state != "running" for r in eng.slot_req if r) or warm < 3:
+        eng.step()
+        warm += 1
+    t0 = time.perf_counter()
+    toks = 0
+    for _ in range(steps):
+        toks += len(eng.step())
+    dt = time.perf_counter() - t0
+    agg = toks / dt
+    tag = "spec " if spec else ""
+    log(f"slots={slots:>2} ctx={ctx:>5} {tag}aggregate: {agg:7.1f} tok/s "
+        f"({dt / steps * 1e3:.1f} ms/step, {toks} toks/{steps} steps)")
+    return agg
+
+
+def main():
+    run_config(1, 2048)
+    run_config(8, 1024)
+    run_config(16, 512)
+    run_config(8, 1024, spec=True)
+
+
+if __name__ == "__main__":
+    main()
