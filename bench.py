@@ -65,6 +65,7 @@ def main():
 
     prefill()  # compile
     prompt_ts = prompt_len / min(prefill(), prefill())
+    print(f" -- prompt {prompt_ts:.1f} tok/s", flush=True)
 
     # ---- turbo prefill (W4A8 int8 MXU dots; opt-in extra — noisier
     # than turbo decode since prefill noise compounds through the KV cache)
@@ -88,6 +89,7 @@ def main():
 
         prefill_turbo()
         turbo_prompt_ts = prompt_len / min(prefill_turbo(), prefill_turbo())
+        print(f" -- turbo prompt {turbo_prompt_ts:.1f} tok/s", flush=True)
         del cache_t
 
     # ---- decode: 128 tokens greedily, chained on device (one jit) to
@@ -119,8 +121,27 @@ def main():
     tok0 = jnp.asarray([[1]], jnp.int32)
     past = jnp.int32(cache.current_seq_len)
     kv = cache.state
-    kv, tok = decode_n(model.params, kv, tok0, past)  # compile+run
-    sync(tok)
+    try:
+        kv, tok = decode_n(model.params, kv, tok0, past)  # compile+run
+        sync(tok)
+    except Exception as e:  # megakernel lowering failure → separate kernels
+        print(f" !! fused decode failed ({type(e).__name__}); "
+              "falling back to separate kernels", flush=True)
+        step = functools.partial(step, mlp_fuse=False, attn_fuse=False)
+
+        @functools.partial(jax.jit, donate_argnames=("kv",))
+        def decode_n(params, kv, tok, past_len):
+            def body(i, carry):
+                kv, tok, pos = carry
+                tok, kv = step(params, kv, tok, pos, None, None)
+                return kv, tok, pos + 1
+            kv, tok, pos = jax.lax.fori_loop(
+                0, decode_len, body, (kv, tok, past_len)
+            )
+            return kv, tok
+
+        kv, tok = decode_n(model.params, kv, tok0, past)
+        sync(tok)
 
     # timed runs (reset cache cursor; KV contents don't affect timing)
     times = []
@@ -130,6 +151,7 @@ def main():
         sync(tok)
         times.append(time.perf_counter() - t0)
     decode_ts = decode_len / min(times)
+    print(f" -- worst decode {decode_ts:.2f} tok/s", flush=True)
 
     # ---- same, with the whole-layer megakernel (tuning.fuse_qkv): exact
     # numerics, one kernel per layer. Guarded — falls back to the 2-kernel
@@ -171,6 +193,7 @@ def main():
                 sync(tok)
                 times.append(time.perf_counter() - t0)
             qkvfuse_ts = decode_len / min(times)
+            print(f" -- qkvfuse decode {qkvfuse_ts:.2f} tok/s", flush=True)
         except Exception as e:  # lowering failure → keep the 2-kernel number
             print(f" !! qkv_fuse decode failed ({type(e).__name__}); "
                   "reporting the 2-kernel path")
@@ -213,6 +236,7 @@ def main():
         sync(tok)
         times.append(time.perf_counter() - t0)
     best_ts = decode_len / min(times)
+    print(f" -- best decode {best_ts:.2f} tok/s", flush=True)
 
     # ---- worst-ctx decode again with the int8 KV cache option
     # (tuning.kv_cache_dtype="int8"; halves the KV stream — TPU-native
@@ -229,6 +253,7 @@ def main():
         sync(tok)
         times.append(time.perf_counter() - t0)
     int8kv_ts = decode_len / min(times)
+    print(f" -- int8kv decode {int8kv_ts:.2f} tok/s", flush=True)
 
     # ---- turbo mode: W4A8 matmuls (matmul_impl="pallas_a8") + int8 KV
     step_turbo = functools.partial(
@@ -268,6 +293,7 @@ def main():
         sync(tok)
         times.append(time.perf_counter() - t0)
     int4_turbo_ts = decode_len / min(times)
+    print(f" -- int4kv turbo decode {int4_turbo_ts:.2f} tok/s", flush=True)
     del kv4, cache_q4
 
     kvt, tok = decode_turbo(model.params, kvq, tok0, past)

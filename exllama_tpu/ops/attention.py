@@ -514,9 +514,12 @@ def _flash_kernel(
             # underflows to exactly 0 — the garbage accumulator drops out.
             q = q_ref[0, 0]
             kn = kn_ref[0, 0]                            # [1, D]
-            s_new = jax.lax.dot_general(
-                q, kn, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            # N=1 dot lowers as broadcast-mul-reduce on Mosaic; the mixed
+            # bf16->f32 broadcast fails verification, so do the f32
+            # elementwise form explicitly (same f32 accumulation).
+            s_new = jnp.sum(
+                q.astype(jnp.float32) * kn.astype(jnp.float32),
+                axis=1, keepdims=True,
             ) * scale                                    # [R, 1]
             m_fin = jnp.maximum(m_prev, s_new)
             alpha = jnp.exp(m_prev - m_fin)

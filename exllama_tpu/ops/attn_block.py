@@ -280,9 +280,12 @@ def _layer_tail_kernel(
         # and park this head's rows in the flat attention scratch
         q = q_tile()
         kn = kn_row()
-        s_new = jax.lax.dot_general(
-            q, kn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        # N=1 dot lowers as broadcast-mul-reduce on Mosaic; the mixed
+        # bf16->f32 broadcast fails verification, so do the f32
+        # elementwise form explicitly (same f32 accumulation).
+        s_new = jnp.sum(
+            q.astype(jnp.float32) * kn.astype(jnp.float32),
+            axis=1, keepdims=True,
         ) * scale                                    # [R, 1]
         m_prev = m_scr[:, :1]
         m_fin = jnp.maximum(m_prev, s_new)
