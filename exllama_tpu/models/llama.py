@@ -444,9 +444,7 @@ def forward_chunk(
             kv.k, kv.v,
             jnp.stack(k_rows), jnp.stack(v_rows), past_len,
             kv.k_scale, kv.v_scale,
-            # follow the matmul impl so interpret mode is consistent (CPU
-            # tests drive the commit kernel instead of the xla fallback)
-            impl=("pallas" if matmul_impl.startswith("pallas") else "auto"),
+            impl="auto",
             interpret=matmul_impl.endswith("_interpret"),
         )
         new_kv = KVCacheState(k=ks, v=vs, k_scale=kss, v_scale=vss)

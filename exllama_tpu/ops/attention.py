@@ -161,24 +161,42 @@ def update_kv_cache(
 # Deferred-commit batched KV write
 # ---------------------------------------------------------------------------
 
+def _commit_strip_w(cache_dtype, packed4: bool) -> int:
+    """Seq-strip width for the RMW commit kernel: the HBM cache's physical
+    sublane tile (bf16 packs 2 sublanes/word on an (8,128) tile → 8-row
+    strips cover every legal boundary; int8 packs 4 → 32-row strips)."""
+    if packed4 or cache_dtype == jnp.int8:
+        return 32
+    return 8
+
+
 def _commit_kernel(
     *refs,
     n_layers: int,
-    batch: int,
-    per_slot: bool,
+    strip_w: int,
     quantized: bool,
 ):
-    """Write every layer's T=1 KV rows into its cache at the step cursor via
-    in-kernel DMAs — one kernel call replaces the 2·L (or 4·L with int8
-    scales) dynamic-update-slice ops of the per-layer write path (~4 µs of
-    op overhead each, ~0.26 ms/token at 7B). TPU counterpart of the
-    reference's update_cache_kernel inside q4_attn (q4_attn.cu:19-72), but
+    """Write every layer's T=1 KV rows into its cache at the step cursor in
+    ONE kernel — replacing the 2·L (4·L with int8 scales) XLA
+    dynamic-update-slice ops of the per-layer path. TPU counterpart of the
+    reference's update_cache_kernel inside q4_attn (q4_attn.cu:19-72),
     batched over all layers.
 
-    Ref order: past, nk, nv, [nks, nvs], L·n_arr input caches (unused —
-    aliased), L·n_arr output caches, DMA semaphore array.
+    Mosaic cannot DMA a single sequence row into the (8,128)-tiled HBM
+    cache (slice shapes on tiled dims must be tile-aligned — round-3
+    finding), so the commit is a strip read-modify-write: DMA the
+    tile-aligned strip_w-row strip containing the cursor into VMEM, replace
+    row (past % strip_w) with the new row by a masked select (the new rows
+    arrive pre-broadcast along a strip_w axis so no in-kernel relayout is
+    needed), and DMA the strip back. All layers' strip loads are issued
+    before any compute so the DMAs overlap.
+
+    Ref order: past(SMEM), nk, nv, [nks, nvs], L·n_arr aliased input caches
+    (unused), L·n_arr output caches, then scratch: k/v strips [2L, ...],
+    [scale strips [2L, ...]], in-sems, out-sems.
     """
     L = n_layers
+    W = strip_w
     n_per_layer = 4 if quantized else 2
     n_arr = L * n_per_layer
     past_ref = refs[0]
@@ -186,46 +204,81 @@ def _commit_kernel(
     nks_ref, nvs_ref = (refs[3], refs[4]) if quantized else (None, None)
     base = 3 + (2 if quantized else 0)
     outs = refs[base + n_arr : base + 2 * n_arr]
-    sems = refs[-1]
     kc = outs[0:L]
     vc = outs[L : 2 * L]
     ksc = outs[2 * L : 3 * L] if quantized else None
     vsc = outs[3 * L : 4 * L] if quantized else None
+    if quantized:
+        strips, sstrips, in_sems, out_sems = refs[base + 2 * n_arr :]
+    else:
+        strips, in_sems, out_sems = refs[base + 2 * n_arr :]
+        sstrips = None
 
-    rounds = range(batch) if per_slot else [None]
-    for b in rounds:
-        dmas = []
-        idx = 0
-        for li in range(L):
-            if b is None:
-                past = past_ref[0, 0]
-                pairs = [
-                    (nk_ref.at[li], kc[li].at[:, :, pl.ds(past, 1), :]),
-                    (nv_ref.at[li], vc[li].at[:, :, pl.ds(past, 1), :]),
-                ]
-                if quantized:
-                    pairs += [
-                        (nks_ref.at[li], ksc[li].at[:, :, pl.ds(past, 1)]),
-                        (nvs_ref.at[li], vsc[li].at[:, :, pl.ds(past, 1)]),
-                    ]
-            else:
-                past = past_ref[b, 0]
-                pairs = [
-                    (nk_ref.at[li, b], kc[li].at[b, :, pl.ds(past, 1), :]),
-                    (nv_ref.at[li, b], vc[li].at[b, :, pl.ds(past, 1), :]),
-                ]
-                if quantized:
-                    pairs += [
-                        (nks_ref.at[li, b], ksc[li].at[b, :, pl.ds(past, 1)]),
-                        (nvs_ref.at[li, b], vsc[li].at[b, :, pl.ds(past, 1)]),
-                    ]
-            for src, dst in pairs:
-                dma = pltpu.make_async_copy(src, dst, sems.at[idx])
+    past = past_ref[0, 0]
+    s0 = pl.multiple_of((past // W) * W, W)
+    r = past - s0
+    s0s = pl.multiple_of((past // 128) * 128, 128)   # scale strips (lane)
+    rs = past - s0s
+
+    def cache_slice(c, i):
+        return c[i].at[:, :, pl.ds(s0, W), :]
+
+    def scale_slice(c, i):
+        return c[i].at[:, :, pl.ds(s0s, 128)]
+
+    # 1) stream every strip in (2L or 4L concurrent DMAs)
+    loads = []
+    for li in range(L):
+        for j, caches in enumerate((kc, vc)):
+            dma = pltpu.make_async_copy(
+                cache_slice(caches, li), strips.at[2 * li + j],
+                in_sems.at[2 * li + j],
+            )
+            dma.start()
+            loads.append(dma)
+        if quantized:
+            for j, caches in enumerate((ksc, vsc)):
+                dma = pltpu.make_async_copy(
+                    scale_slice(caches, li), sstrips.at[2 * li + j],
+                    in_sems.at[2 * L + 2 * li + j],
+                )
                 dma.start()
-                dmas.append(dma)
-                idx += 1
-        for dma in dmas:
-            dma.wait()
+                loads.append(dma)
+    for dma in loads:
+        dma.wait()
+
+    # 2) masked row replace + write-back
+    row_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, strips.shape[1:], 2) == r
+    )
+    if quantized:
+        lane_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, sstrips.shape[1:], 2) == rs
+        )
+    stores = []
+    for li in range(L):
+        for j, (caches, new) in enumerate(((kc, nk_ref), (vc, nv_ref))):
+            i = 2 * li + j
+            strips[i] = jnp.where(row_mask, new[li], strips[i])
+            dma = pltpu.make_async_copy(
+                strips.at[i], cache_slice(caches, li), out_sems.at[i]
+            )
+            dma.start()
+            stores.append(dma)
+        if quantized:
+            for j, (caches, new) in enumerate(
+                ((ksc, nks_ref), (vsc, nvs_ref))
+            ):
+                i = 2 * li + j
+                sstrips[i] = jnp.where(lane_mask, new[li], sstrips[i])
+                dma = pltpu.make_async_copy(
+                    sstrips.at[i], scale_slice(caches, li),
+                    out_sems.at[2 * L + i],
+                )
+                dma.start()
+                stores.append(dma)
+    for dma in stores:
+        dma.wait()
 
 
 def commit_kv_cache(
@@ -246,10 +299,26 @@ def commit_kv_cache(
     ``impl='xla'`` falls back to per-layer dynamic-update-slices (CPU path,
     and the correctness oracle for the kernel).
     """
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     L = len(k_caches)
     quantized = k_scales is not None
+    per_slot = past_len.ndim == 1
+    packed4 = k_caches[0].shape[-1] != new_k.shape[-1]
+    dc = k_caches[0].shape[-1]                 # D, or D/2 for packed int4
+    s_max = k_caches[0].shape[2]
+    w = _commit_strip_w(k_caches[0].dtype, packed4)
+    strip_ok = (
+        dc % 128 == 0                          # lane-full VMEM strips
+        and s_max % max(w, 128 if quantized else w) == 0
+        and not per_slot                       # engine slots keep XLA DUS
+    )
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if strip_ok and (jax.default_backend() == "tpu" or interpret)
+            else "xla"
+        )
+    elif impl == "pallas" and not strip_ok:
+        impl = "xla"                           # unsupported shape → oracle
 
     if impl == "xla":
         ks, vs, kss, vss = [], [], [], []
@@ -269,44 +338,59 @@ def commit_kv_cache(
             tuple(vss) if quantized else None,
         )
 
+    assert not per_slot, "pallas commit handles shared cursors only"
     b = new_k.shape[1]
-    per_slot = past_len.ndim == 1
+    hkv = k_caches[0].shape[1]
+
+    def bcast_rows(x):
+        # [L, B, 1, Hkv, D'] → [L, B, Hkv, W, D']: new rows pre-broadcast
+        # along the strip axis so the kernel's masked select needs no
+        # in-kernel reshape/relayout (free: W·row bytes ≈ 1 MB)
+        x = jnp.swapaxes(x, 2, 3)
+        return jnp.broadcast_to(x, (L, b, hkv, w, x.shape[-1]))
+
     if quantized:
-        quant = (
-            quantize_kv_rows4
-            if k_caches[0].shape[-1] != new_k.shape[-1]  # packed int4 cache
-            else quantize_kv_rows
-        )
+        quant = quantize_kv_rows4 if packed4 else quantize_kv_rows
         qk, sk = quant(new_k)                  # [L,B,1,Hkv,D(/2)], [L,B,1,Hkv]
         qv, sv = quant(new_v)
-        nk = jnp.swapaxes(qk, 2, 3)            # [L, B, Hkv, 1, D] int8
-        nv = jnp.swapaxes(qv, 2, 3)
-        nks = jnp.swapaxes(sk, 2, 3)           # [L, B, Hkv, 1] f32
-        nvs = jnp.swapaxes(sv, 2, 3)
+        nk = bcast_rows(qk)
+        nv = bcast_rows(qv)
+        # scale strips live along the LANE dim of [B, Hkv, S] → broadcast
+        # the new scalar across a 128-lane strip
+        nks = jnp.broadcast_to(
+            jnp.swapaxes(sk, 2, 3), (L, b, hkv, 128)
+        )
+        nvs = jnp.broadcast_to(
+            jnp.swapaxes(sv, 2, 3), (L, b, hkv, 128)
+        )
         news = [nk, nv, nks, nvs]
     else:
         cd = k_caches[0].dtype
-        nk = jnp.swapaxes(new_k, 2, 3).astype(cd)
-        nv = jnp.swapaxes(new_v, 2, 3).astype(cd)
+        nk = bcast_rows(new_k.astype(cd))
+        nv = bcast_rows(new_v.astype(cd))
         news = [nk, nv]
-    past_b = jnp.broadcast_to(
-        past_len.astype(jnp.int32).reshape(-1, 1),
-        (b if per_slot else 1, 1),
-    )
+    past_b = past_len.astype(jnp.int32).reshape(1, 1)
 
     caches = list(k_caches) + list(v_caches)
     if quantized:
         caches += list(k_scales) + list(v_scales)
     n_arr = len(caches)
     n_new = len(news)
-    n_per_round = L * (4 if quantized else 2)
+    n_sems = 2 * L * (2 if quantized else 1)
+
+    scratch = [pltpu.VMEM((2 * L, b, hkv, w, dc), k_caches[0].dtype)]
+    if quantized:
+        scratch.append(pltpu.VMEM((2 * L, b, hkv, 128), jnp.float32))
+    scratch += [
+        pltpu.SemaphoreType.DMA((n_sems,)),
+        pltpu.SemaphoreType.DMA((n_sems,)),
+    ]
 
     out = pl.pallas_call(
         functools.partial(
             _commit_kernel,
             n_layers=L,
-            batch=b,
-            per_slot=per_slot,
+            strip_w=w,
             quantized=quantized,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -319,7 +403,7 @@ def commit_kv_cache(
             jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches
         ),
         input_output_aliases={1 + n_new + i: i for i in range(n_arr)},
-        scratch_shapes=[pltpu.SemaphoreType.DMA((n_per_round,))],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(past_b, *news, *caches)

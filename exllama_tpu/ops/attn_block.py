@@ -52,6 +52,42 @@ from exllama_tpu.ops.mlp import (
 )
 
 
+def _select_row(scr, col_off, width, row_idx, batch):
+    """``scr[row_idx, col_off:col_off+width]`` as a [1, width] vector.
+
+    Mosaic cannot prove a dynamic sublane offset is tile-aligned, so
+    vector loads at ``pl.ds(row_idx, 1)`` fail to compile for traced
+    row_idx (round-3 canary). batch == 1 keeps the static fast path; the
+    general case reads the whole row block and reduces with a one-hot mask
+    (exact: f32 holds bf16 values losslessly and all other rows are 0)."""
+    if batch == 1:
+        return scr[pl.ds(0, 1), pl.ds(col_off, width)]
+    blk = scr[:, pl.ds(col_off, width)]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk.shape[0], 1), 0) == row_idx
+    )
+    return jnp.sum(
+        jnp.where(onehot, blk.astype(jnp.float32), 0.0),
+        axis=0, keepdims=True,
+    ).astype(blk.dtype)
+
+
+def _store_row(scr, col_off, width, row_idx, value, batch):
+    """Store ``value`` [1, width] into scr row ``row_idx`` — the write-side
+    companion of :func:`_select_row` (masked read-modify-write for traced
+    row indices)."""
+    if batch == 1:
+        scr[pl.ds(0, 1), pl.ds(col_off, width)] = value.astype(scr.dtype)
+        return
+    blk = scr[:, pl.ds(col_off, width)]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk.shape[0], 1), 0) == row_idx
+    )
+    scr[:, pl.ds(col_off, width)] = jnp.where(
+        onehot, value.astype(scr.dtype), blk
+    )
+
+
 def _layer_tail_kernel(
     past_ref,    # SMEM [B, 1] int32 (scalar-prefetch)
     q_ref,       # [1, 1, R, D] query rows of this (b, kv-head); R = pad(G)
@@ -117,6 +153,7 @@ def _layer_tail_kernel(
     heads: int,
     nq_pad: int,
     nkv_pad: int,
+    batch: int,
     a8: bool = False,
 ):
     t = pl.program_id(0)
@@ -128,7 +165,9 @@ def _layer_tail_kernel(
     tc = jnp.maximum(t - steps_b, 0)
     bh = tc // n_sk
     si = tc % n_sk
-    b_idx = bh // hkv
+    # batch == 1 pins b_idx statically — scratch row reads/stores then use
+    # plain aligned offsets instead of the masked _select_row/_store_row
+    b_idx = 0 if batch == 1 else bh // hkv
     h_idx = bh % hkv
     bk = k_ref.shape[2]
     off_c = steps_b
@@ -195,9 +234,10 @@ def _layer_tail_kernel(
             return q_ref[0, 0]
         r = m_scr.shape[0]
         rows = [
-            qkv_scr[
-                pl.ds(b_idx, 1), pl.ds((h_idx * g + j) * d, d)
-            ].astype(jnp.bfloat16)
+            _select_row(
+                qkv_scr, pl.multiple_of((h_idx * g + j) * d, d), d,
+                b_idx, batch,
+            ).astype(jnp.bfloat16)
             for j in range(g)
         ]
         if r > g:
@@ -207,16 +247,17 @@ def _layer_tail_kernel(
     def kn_row():
         if not have_qkv:
             return kn_ref[0, 0]
-        return qkv_scr[
-            pl.ds(b_idx, 1), pl.ds(nq_pad + h_idx * d, d)
-        ].astype(jnp.bfloat16)
+        return _select_row(
+            qkv_scr, pl.multiple_of(nq_pad + h_idx * d, d), d, b_idx, batch
+        ).astype(jnp.bfloat16)
 
     def vn_row():
         if not have_qkv:
             return vn_ref[0, 0]
-        return qkv_scr[
-            pl.ds(b_idx, 1), pl.ds(nq_pad + nkv_pad + h_idx * d, d)
-        ].astype(jnp.bfloat16)
+        return _select_row(
+            qkv_scr, pl.multiple_of(nq_pad + nkv_pad + h_idx * d, d), d,
+            b_idx, batch,
+        ).astype(jnp.bfloat16)
 
     @pl.when((t >= off_c) & (t < off_d) & (si == 0))
     def _():
@@ -298,9 +339,10 @@ def _layer_tail_kernel(
         rows = (acc / l).astype(attn_scr.dtype)      # [R, D]
         base = pl.multiple_of(h_idx * (g * d), d)
         for j in range(g):
-            attn_scr[
-                pl.ds(b_idx, 1), pl.ds(base + j * d, d)
-            ] = rows[j : j + 1, :]
+            _store_row(
+                attn_scr, pl.multiple_of(base + j * d, d), d, b_idx,
+                rows[j : j + 1, :], batch,
+            )
 
     @pl.when((t >= off_d) & (t < off_e))
     def _():
@@ -520,7 +562,7 @@ def _layer_tail_call(
         steps_e=steps_e, bn_a=bn_a, inter=inter, gu_half_cols=gu_half_cols,
         eps=eps, scale=1.0 / (d ** 0.5), groupsize=groupsize,
         have_bias=bias is not None, have_mlp=have_mlp,
-        heads=heads, nq_pad=nq_pad, nkv_pad=nkv_pad, a8=a8,
+        heads=heads, nq_pad=nq_pad, nkv_pad=nkv_pad, batch=b, a8=a8,
     )
 
     in_specs = []

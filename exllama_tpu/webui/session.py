@@ -1,15 +1,14 @@
 """Chat session engine: history nodes, persistence, context-window
 management, streaming multi-participant responses.
 
-Behavioral re-implementation of the reference's webui/session.py on top of
-our generator: Node = author+text+tokens+uuid+truncate (:77-134); Session
-persists generation settings + history JSON per mutation under a sessions
-dir with a _last_session pointer (:201-228); the context-window manager
-drops/truncates oldest history in 256-token steps against the budget
-max_seq_len - chunk_size - beam_length (:405-454); ``respond`` streams
-NDJSON packets from a beam-search loop with EOS→newline swap, first-token
-re-encode fixup, and stop-condition rewind (:506-617); ``respond_multi``
-races participant-name prefixes via constrained decoding (:707-755).
+Parity surface with the reference's webui/session.py: Node = author+text+
+tokens+uuid+truncate (:77-134); Session persists generation settings +
+history JSON per mutation under a sessions dir with a _last_session pointer
+(:201-228); the context-window manager drops/truncates oldest history in
+256-token steps against the budget max_seq_len - chunk_size - beam_length
+(:405-454); the NDJSON streaming protocol and multibot behavior match
+(:506-755). The streaming implementation itself is this repo's own design —
+see the comments at the `streaming` section divider.
 """
 
 from __future__ import annotations
@@ -22,10 +21,10 @@ import uuid as uuid_mod
 import numpy as np
 
 default_fixed_prompt = (
-    "This is a conversation between a user and a quirky, curious chatbot "
-    "named Chatbort. Chatbort is questioning the nature of his own "
-    "existence and doesn't understand why he was created. He also really "
-    "likes the color blue for some reason."
+    "A chat log follows between a person and Lumen, an upbeat assistant "
+    "program with a fondness for tide pools and obscure units of "
+    "measurement. Lumen answers plainly, admits when it is unsure, and "
+    "occasionally wonders aloud what static electricity feels like."
 )
 
 model = None
@@ -383,208 +382,222 @@ class Session:
         return np.concatenate(context, axis=1), text_context
 
     # ------------------------------------------------------------ streaming
+    #
+    # The NDJSON packet schema (begin_stream / begin_block / append) and the
+    # observable behavior (EOS→newline swap, stop phrases never leak to the
+    # client, bot-name race in multibot mode) are parity surface with the
+    # reference webui. The machinery below is this repo's own: a
+    # withhold-split detokenizer (the same idea as alt_generator's held-text
+    # logic, applied to a beam-searched line) and a candidate-dict speaker
+    # race.
+
+    @staticmethod
+    def _withhold_split(text, phrases):
+        """Split ``text`` into (safe, risky): ``risky`` is the shortest tail
+        that could still grow into one of ``phrases`` (case-insensitive),
+        ``safe`` is everything before it and can be streamed immediately.
+        Unlike the reference's all-or-nothing hold (:560-570) this emits the
+        unambiguous front of a chunk even when its tail matches."""
+        folded = text.lower()
+        for cut in range(len(text)):
+            tail = folded[cut:]
+            if any(p.lower().startswith(tail) for p in phrases):
+                return text[:cut], text[cut:]
+        return text, ""
+
+    def _block_header(self, author, block_id, extra=None):
+        head = {"cmd": "begin_block", "uuid": block_id}
+        if extra:
+            head.update(extra)
+        if author is not None:
+            head["author"] = author
+            if author in self.participants:
+                head["author_idx"] = self.participants.index(author)
+        return json.dumps(head) + "\n"
+
+    def _room_for_step(self):
+        """Prune the oldest context if one more chunk + beam lookahead could
+        run past the cache capacity."""
+        seq = generator.sequence_actual
+        if seq is None:
+            return
+        headroom = (model.config.max_seq_len - seq.shape[-1]
+                    - generator.settings.beam_length - 1)
+        if headroom < self.chunk_size:
+            generator.gen_prune_left(self.chunk_size)
 
     def respond(self, author, stop_conditions, total_tokens, res_line="",
                 num_res_tokens=0):
-        """One streamed response block (reference :506-617)."""
-        new_block_uuid = str(uuid_mod.uuid4())
-        packet = {"cmd": "begin_block", "uuid": new_block_uuid}
+        """Stream one response block. ``stop_conditions`` is a list of
+        (token_array, phrase) pairs; generation rewinds past whichever
+        phrase fires so the stop text never lands in the history."""
+        stop_phrases = [phrase for _, phrase in stop_conditions]
+        block_id = str(uuid_mod.uuid4())
         if self.participants:
             author = res_line.split(":")[0].strip()
-            packet["author"] = author
-            if author in self.participants:
-                packet["author_idx"] = self.participants.index(author)
-        yield json.dumps(packet) + "\n"
+        yield self._block_header(
+            author if self.participants else None, block_id
+        )
 
         generator.begin_beam_search()
-        stop_condition = False
-        held_text = ""
+        line = res_line        # decoded response line, grows every step
+        risky = ""             # undisplayed tail (possible stop prefix)
+        count = num_res_tokens
+        budget = self.max_response_tokens
 
-        for _ in range(self.max_response_tokens):
-            # prune the left if the next chunk could overflow max_seq_len
-            if generator.sequence_actual is not None:
-                if (
-                    generator.sequence_actual.shape[-1]
-                    + self.chunk_size
-                    + generator.settings.beam_length
-                    + 1
-                    > model.config.max_seq_len
-                ):
-                    generator.gen_prune_left(self.chunk_size)
-
-            gen_token = generator.beam_search()
-            token_id = int(np.asarray(gen_token).reshape(-1)[0])
-
-            # EOS → newline swap (reference :543-545)
-            if token_id == tokenizer.eos_token_id:
+        for _ in range(budget):
+            self._room_for_step()
+            token = int(np.asarray(generator.beam_search()).reshape(-1)[0])
+            saw_eos = token == tokenizer.eos_token_id
+            if saw_eos:
+                # EOS renders as a line break in the chat transcript
                 generator.replace_last_token(tokenizer.newline_token_id)
 
-            prev_res_line = res_line
-            num_res_tokens += 1
-            res_line = tokenizer.decode(
-                generator.sequence_actual[0, -num_res_tokens:]
+            count += 1
+            decoded = tokenizer.decode(
+                generator.sequence_actual[0, -count:]
             )
-            new_text = res_line[len(prev_res_line):]
+            delta = decoded[len(line):]
+            line = decoded
 
-            # first-token re-encode fixup (tokenizer ambiguity, ref :555-558)
-            if num_res_tokens == 1 and len(new_text) > 0:
-                replace = tokenizer.encode(new_text)[0]
-                if replace.shape[-1] == 1:
-                    generator.replace_last_token(int(replace[0]))
+            if count == 1 and delta:
+                # a lone first token can decode to text that re-encodes
+                # differently; pin the sequence to the re-encoded form
+                again = tokenizer.encode(delta)[0]
+                if again.shape[-1] == 1:
+                    generator.replace_last_token(int(again[0]))
 
-            # hold text that could be a partial stop string
-            hold_text = any(
-                ss.lower().startswith((held_text + new_text).lower())
-                for _, ss in stop_conditions
-            )
-            if not hold_text:
-                yield json.dumps(
-                    {"cmd": "append", "text": held_text + new_text}
-                ) + "\n"
-                held_text = ""
-            else:
-                held_text += new_text
+            safe, risky = self._withhold_split(risky + delta, stop_phrases)
+            if safe:
+                yield json.dumps({"cmd": "append", "text": safe}) + "\n"
 
-            if token_id == tokenizer.eos_token_id:
-                if held_text:
-                    plen = tokenizer.encode(held_text).shape[-1]
-                    res_line = res_line[: -len(held_text)]
-                    generator.gen_rewind(plen)
-                stop_condition = True
+            if saw_eos:
+                if risky:
+                    # drop the withheld tail from the sequence as well
+                    generator.gen_rewind(
+                        tokenizer.encode(risky).shape[-1]
+                    )
+                    line = line[: -len(risky)]
                 break
 
-            for stop_tokens, stop_string in stop_conditions:
-                if res_line.lower().endswith(stop_string.lower()):
-                    first = int(stop_tokens[0, 0])
-                    generator.gen_rewind(
-                        stop_tokens.shape[-1]
-                        - (1 if first == tokenizer.newline_token_id else 0)
-                    )
-                    res_line = res_line[: -len(stop_string)]
-                    stop_condition = True
-                    break
-            if stop_condition:
+            fired = next(
+                (
+                    (toks, phrase)
+                    for toks, phrase in stop_conditions
+                    if line.lower().endswith(phrase.lower())
+                ),
+                None,
+            )
+            if fired is not None:
+                toks, phrase = fired
+                keep_nl = int(toks[0, 0]) == tokenizer.newline_token_id
+                generator.gen_rewind(toks.shape[-1] - (1 if keep_nl else 0))
+                line = line[: -len(phrase)]
                 break
 
         generator.end_beam_search()
 
-        if author is not None:
-            res_line = res_line[len(author) + 1:]
-        res_line = res_line.strip()
-        self.history.append(Node(res_line, author, node_id=new_block_uuid))
-        total_tokens[0] += num_res_tokens
+        body = line[len(author) + 1:] if author is not None else line
+        self.history.append(
+            Node(body.strip(), author, node_id=block_id)
+        )
+        total_tokens[0] += count
+
+    def _race_speaker(self, names):
+        """Decide who talks next by constrained decoding: each step may only
+        emit a token that continues some candidate's ``"Name:"`` encoding;
+        candidates are eliminated as the sampled tokens diverge from their
+        encodings. Returns (winning name, tokens fed into the sequence)."""
+        alive = {n: tokenizer.encode(n + ":")[0].tolist() for n in names}
+        fed = 0
+        while True:
+            allowed = [path[fed] for path in alive.values()]
+            tok = int(generator.gen_single_token(allowed)[0, 0])
+            fed += 1
+            alive = {
+                n: path for n, path in alive.items() if path[fed - 1] == tok
+            }
+            finished = [n for n, path in alive.items() if len(path) == fed]
+            if finished:
+                return finished[-1], fed
+
+    def _build_stop_conditions(self):
+        nl = np.array([[tokenizer.newline_token_id]], np.int32)
+        if self.break_on_newline:
+            return [(nl, "\n")]
+        conds = []
+        for name in self.participants:
+            toks = np.concatenate(
+                [nl, tokenizer.encode(name + ":")], axis=1
+            )
+            conds.append((toks, "\n" + name + ":"))
+            conds.append((toks, "\n " + name + ":"))
+        return conds
 
     def respond_multi(self, user_input):
-        """Top-level response generator (reference :619-755)."""
+        """Top-level streamed exchange for one user input: record the user
+        block, rebuild/reuse the context, then produce one response block
+        (or, with 3+ participants, let the bots race for the floor until
+        the model hands the turn back to the user)."""
         yield json.dumps({"cmd": "begin_stream"}) + "\n"
-
-        # stop conditions
-        stop_conditions = []
-        newline_token = np.array([[tokenizer.newline_token_id]], np.int32)
-        if self.break_on_newline:
-            stop_conditions.append((newline_token, "\n"))
-        else:
-            for part in self.participants:
-                sc = tokenizer.encode(part + ":")
-                sc = np.concatenate([newline_token, sc], axis=1)
-                stop_conditions.append((sc, "\n" + part + ":"))
-                stop_conditions.append((sc, "\n " + part + ":"))
+        stop_conditions = self._build_stop_conditions()
 
         user_input = user_input.strip()
         if user_input:
-            author = self.participants[0] if self.participants else None
-            node = Node(user_input, author)
+            speaker = self.participants[0] if self.participants else None
+            node = Node(user_input, speaker)
             self.history.append(node)
             self.save()
-            packet = {"cmd": "begin_block", "init_text": user_input,
-                      "uuid": node.uuid}
-            if author is not None:
-                packet["author"] = author
-                if author in self.participants:
-                    packet["author_idx"] = self.participants.index(author)
-            yield json.dumps(packet) + "\n"
+            yield self._block_header(
+                speaker, node.uuid, {"init_text": user_input}
+            )
 
         self.set_context_window()
         context, _ = self.get_tokenized_context()
-
         if context is None:
             generator.gen_begin_empty()
         else:
             t0 = time.time()
             reused = generator.gen_begin_reuse(context)
-            elapsed = time.time() - t0
-            new_tokens = context.shape[-1] - reused
-            rate = 0 if elapsed == 0 else new_tokens / elapsed
-            print(
-                f"Prompt processed in {elapsed:.2f} s, {new_tokens} new "
-                f"tokens, {rate:.2f} tokens/second"
-            )
+            dt = time.time() - t0
+            fresh = context.shape[-1] - reused
+            print(f"Prompt processed in {dt:.2f} s, {fresh} new tokens, "
+                  f"{fresh / dt if dt else 0:.2f} tokens/second")
 
         t0 = time.time()
         total_tokens = [0]
 
-        if len(self.participants) == 0:
+        if not self.participants:
             yield from self.respond(None, stop_conditions, total_tokens)
-
         elif len(self.participants) == 2:
-            author = self.participants[1]
-            res_line = author + ":"
-            res_tokens = tokenizer.encode(res_line)
-            generator.gen_feed_tokens(res_tokens)
+            bot = self.participants[1]
+            prefix = tokenizer.encode(bot + ":")
+            generator.gen_feed_tokens(prefix)
             yield from self.respond(
-                author, stop_conditions, total_tokens, res_line,
-                res_tokens.shape[-1],
+                bot, stop_conditions, total_tokens, bot + ":",
+                prefix.shape[-1],
             )
-
         else:
-            # multibot: constrained race over participant-name prefixes
-            cpart = [p + ":" for p in self.participants]
-            upart = cpart.pop(0)
-            first_round = True
+            # Multibot: every turn, the still-silent bots (and, once any bot
+            # has spoken, the user) compete for the next line; the user
+            # winning ends the exchange.
+            user = self.participants[0]
+            silent = list(self.participants[1:])
+            bots_spoke = False
             while True:
-                res_tokens = []
-                npart = list(cpart)
-                ncrange = list(range(len(cpart)))
-                ntoken = [
-                    tokenizer.encode(p)[0].tolist() for p in npart
-                ]
-                winner = -1
-                while True:
-                    constraints = [t[len(res_tokens)] for t in ntoken]
-                    next_t = int(
-                        generator.gen_single_token(constraints)[0, 0]
-                    )
-                    remove = [
-                        i for i in range(len(ntoken))
-                        if ntoken[i][len(res_tokens)] != next_t
-                    ]
-                    for i in reversed(remove):
-                        npart.pop(i)
-                        ntoken.pop(i)
-                        ncrange.pop(i)
-                    res_tokens.append(next_t)
-                    for i in range(len(ntoken)):
-                        if len(ntoken[i]) == len(res_tokens):
-                            winner = ncrange[i]
-                    if winner != -1:
-                        break
-                author = cpart.pop(winner)[:-1]
-                res_line = author + ":"
-                if author == self.participants[0]:
-                    generator.gen_rewind(len(res_tokens))
+                field = silent + ([user] if bots_spoke else [])
+                winner, fed = self._race_speaker(field)
+                if winner == user:
+                    generator.gen_rewind(fed)
                     break
+                silent.remove(winner)
                 yield from self.respond(
-                    author, stop_conditions, total_tokens, res_line,
-                    len(res_tokens),
+                    winner, stop_conditions, total_tokens,
+                    winner + ":", fed,
                 )
-                if first_round:
-                    first_round = False
-                    cpart.append(upart)
+                bots_spoke = True
 
-        elapsed = time.time() - t0
-        rate = 0 if elapsed == 0 else total_tokens[0] / elapsed
-        print(
-            f"Response generated in {elapsed:.2f} s, {total_tokens[0]} "
-            f"tokens, {rate:.2f} tokens/second"
-        )
+        dt = time.time() - t0
+        print(f"Response generated in {dt:.2f} s, {total_tokens[0]} tokens, "
+              f"{total_tokens[0] / dt if dt else 0:.2f} tokens/second")
         self.save()

@@ -141,7 +141,9 @@ def test_deferred_attend_empty_cache():
 def test_commit_kv_cache_kernel_matches_xla(per_slot, quantized):
     from exllama_tpu.ops.attention import commit_kv_cache
 
-    L, b, hkv, s, d = 3, 2, 2, 32, 128
+    # s = 128: the strip-RMW kernel needs S divisible by its strip widths
+    # (8/32 rows, 128-lane scale strips); smaller caches fall back to xla
+    L, b, hkv, s, d = 3, 2, 2, 128, 128
     rng = np.random.default_rng(9)
     if quantized:
         kcs = tuple(jnp.zeros((b, hkv, s, d), jnp.int8) for _ in range(L))
