@@ -89,6 +89,11 @@ class TuningParams:
     # in-kernel permute). LoRA adapters on gate/up/down are re-permuted to
     # match at lora-load time.
     fold_act_order: bool = True
+    # Deferred-commit KV write implementation for decode steps: "pallas"
+    # (strip read-modify-write kernel, one call for all layers), "xla"
+    # (per-layer dynamic-update-slices), or "auto" (kernel where its shape
+    # gates hold, else xla).
+    commit_impl: str = "auto"
     # Decode-time attention length bucketing: round the attended KV length up
     # to a multiple of this to bound recompilation while skipping most of the
     # unused cache (0 = always attend over the full max_seq_len).

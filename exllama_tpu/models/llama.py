@@ -344,6 +344,7 @@ def _decoder_layer(
         "mlp_fuse",
         "attn_fuse",
         "qkv_fuse",
+        "commit_impl",
     ),
     donate_argnames=("kv",),
 )
@@ -368,6 +369,7 @@ def forward_chunk(
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
     qkv_fuse: bool = False,
+    commit_impl: str = "auto",
 ):
     """One forward chunk over all layers. Returns (logits|None, new KV).
 
@@ -444,7 +446,7 @@ def forward_chunk(
             kv.k, kv.v,
             jnp.stack(k_rows), jnp.stack(v_rows), past_len,
             kv.k_scale, kv.v_scale,
-            impl="auto",
+            impl=commit_impl,
             interpret=matmul_impl.endswith("_interpret"),
         )
         new_kv = KVCacheState(k=ks, v=vs, k_scale=kss, v_scale=vss)
@@ -612,6 +614,7 @@ class ExLlama:
                 mlp_fuse=self.config.tuning.fuse_mlp,
                 attn_fuse=self.config.tuning.fuse_attn,
                 qkv_fuse=self.config.tuning.fuse_qkv,
+                commit_impl=self.config.tuning.commit_impl,
             )
             cache.state = new_state
             cache.current_seq_len += chunk

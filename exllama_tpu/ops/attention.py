@@ -312,11 +312,11 @@ def commit_kv_cache(
         and not per_slot                       # engine slots keep XLA DUS
     )
     if impl == "auto":
-        impl = (
-            "pallas"
-            if strip_ok and (jax.default_backend() == "tpu" or interpret)
-            else "xla"
-        )
+        # Measured on v5e (scripts/ab_decode.py, round 3): XLA's in-place
+        # dynamic-update-slices beat the strip-RMW kernel by ~1 tok/s at 7B
+        # (XLA masks sub-tile updates without the kernel's 8-row read-back).
+        # The kernel stays available via tuning.commit_impl="pallas".
+        impl = "xla"
     elif impl == "pallas" and not strip_ok:
         impl = "xla"                           # unsupported shape → oracle
 
