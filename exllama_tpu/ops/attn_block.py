@@ -155,6 +155,7 @@ def _layer_tail_kernel(
     nkv_pad: int,
     batch: int,
     a8: bool = False,
+    a8x2: bool = False,
 ):
     t = pl.program_id(0)
     have_qkv = qkv_scr is not None
@@ -190,7 +191,7 @@ def _layer_tail_kernel(
             s = qkvs_ref[0].astype(jnp.float32)
             z = qkvz_ref[0].astype(jnp.float32)
             acc_lo, acc_hi = _npair_gemv_partials(
-                xn0_scr[:], b8, s, z, groupsize, a8=a8
+                xn0_scr[:], b8, s, z, groupsize, a8=a8, a8x2=a8x2
             )
             bn_b = qkvq_ref.shape[1] * 2
             base = pl.multiple_of(j * bn_b, bn_b)
@@ -352,7 +353,7 @@ def _layer_tail_kernel(
         s = os_ref[0].astype(jnp.float32)
         z = oz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            attn_scr[:], b8, s, z, groupsize, a8=a8
+            attn_scr[:], b8, s, z, groupsize, a8=a8, a8x2=a8x2
         )
         bn_o = oq_ref.shape[1] * 2
         base = pl.multiple_of(j * bn_o, bn_o)
@@ -389,7 +390,7 @@ def _layer_tail_kernel(
         s = gus_ref[0].astype(jnp.float32)
         z = guz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            xn_scr[:], b8, s, z, groupsize, a8=a8
+            xn_scr[:], b8, s, z, groupsize, a8=a8, a8x2=a8x2
         )
         base = pl.multiple_of(j * bn_a, bn_a)
         for sub in range(len(acc_lo)):
@@ -410,7 +411,7 @@ def _layer_tail_kernel(
         s = ds_ref[0].astype(jnp.float32)
         z = dz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            mid_scr[:], b8, s, z, groupsize, a8=a8
+            mid_scr[:], b8, s, z, groupsize, a8=a8, a8x2=a8x2
         )
         bn_f = dq_ref.shape[1] * 2
         base = pl.multiple_of(j * bn_f, bn_f)
@@ -456,7 +457,8 @@ def attn_o_applicable(
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
                            "pallas_a8", "pallas_a8_interpret",
-                           "pallas_a8t", "pallas_a8t_interpret"):
+                           "pallas_a8t", "pallas_a8t_interpret",
+                           "pallas_a8x2", "pallas_a8x2_interpret"):
         return False
     if o.layout != "npair" or o.x_map is not None:
         return False
@@ -472,7 +474,7 @@ def attn_o_applicable(
     static_argnames=(
         "attend_len", "g", "groupsize", "bn_o", "bn_a", "bn_f", "bn_b",
         "inter", "heads", "head_dim", "nq_pad", "nkv_pad", "eps",
-        "interpret", "a8",
+        "interpret", "a8", "a8x2",
     ),
 )
 def _layer_tail_call(
@@ -510,6 +512,7 @@ def _layer_tail_call(
     eps: float = 0.0,
     interpret: bool,
     a8: bool = False,
+    a8x2: bool = False,
 ):
     if qr is not None:
         b, hkv, r, d = qr.shape
@@ -563,6 +566,7 @@ def _layer_tail_call(
         eps=eps, scale=1.0 / (d ** 0.5), groupsize=groupsize,
         have_bias=bias is not None, have_mlp=have_mlp,
         heads=heads, nq_pad=nq_pad, nkv_pad=nkv_pad, batch=b, a8=a8,
+        a8x2=a8x2,
     )
 
     in_specs = []
@@ -868,6 +872,7 @@ def attn_block_o(
         attend_len=attend_len, g=g, groupsize=o.groupsize, bn_o=bn_o,
         interpret=impl.endswith("_interpret"),
         a8=impl.startswith("pallas_a8"),
+        a8x2=impl.startswith("pallas_a8x2"),
     )
     return out[:b, :hidden].reshape(b, 1, hidden)
 
@@ -910,6 +915,7 @@ def layer_tail(
         bn_a=bn_a, bn_f=bn_f, inter=inter, eps=float(eps),
         interpret=impl.endswith("_interpret"),
         a8=impl.startswith("pallas_a8"),
+        a8x2=impl.startswith("pallas_a8x2"),
     )
     return out[:b, :hidden].reshape(b, 1, hidden)
 
@@ -930,7 +936,8 @@ def layer_step_applicable(
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
                            "pallas_a8", "pallas_a8_interpret",
-                           "pallas_a8t", "pallas_a8t_interpret"):
+                           "pallas_a8t", "pallas_a8t_interpret",
+                           "pallas_a8x2", "pallas_a8x2_interpret"):
         return False
     if qkv.layout != "npair" or qkv.x_map is not None:
         return False
@@ -1012,6 +1019,7 @@ def layer_step(
         eps=float(eps),
         interpret=impl.endswith("_interpret"),
         a8=impl.startswith("pallas_a8"),
+        a8x2=impl.startswith("pallas_a8x2"),
     )
     return (
         out[:b, :hidden].reshape(b, 1, hidden),

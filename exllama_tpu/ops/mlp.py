@@ -44,12 +44,13 @@ _STEP_BYTES_MAX = 12 * 1024 * 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
 
 
-def _npair_gemv_partials(x, b8, s, z, groupsize, a8=False):
+def _npair_gemv_partials(x, b8, s, z, groupsize, a8=False, a8x2=False):
     """One npair GEMV block: x [bm, bk] · packed [bk, bn/2] → list of
     (lo, hi) f32 [bm, PAIR_HALF] partial pairs, one per N_ALIGN sub-block.
     Same math as ops/quant._q4_gemv_kernel_npair; with ``a8`` the W4A8
     turbo math of _q4_gemv_kernel_npair_a8 (per-(row, group) int8-quantized
-    activations feeding int8 MXU dots, exact int32 affine recovery)."""
+    activations feeding int8 MXU dots, exact int32 affine recovery); with
+    ``a8x2`` its two-pass residual variant (quantization error ~2⁻¹⁴)."""
     gs = groupsize
     bk = x.shape[1]
     half = PAIR_HALF
@@ -64,17 +65,34 @@ def _npair_gemv_partials(x, b8, s, z, groupsize, a8=False):
             amax = jnp.max(jnp.abs(xg), axis=1, keepdims=True)
             sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
             xq = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
-            d1i = jax.lax.dot_general(
-                xq, blk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            d2i = jax.lax.dot_general(
-                xq, hv8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            xqs = xq.astype(jnp.int32).sum(axis=1, keepdims=True)
-            lo = (d1i - d2i).astype(jnp.float32) * sx      # Σ x·q_lo
-            hi = ((d2i >> 4) + 8 * xqs).astype(jnp.float32) * sx
+
+            def nibble_dots(q8):
+                da = jax.lax.dot_general(
+                    q8, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                db = jax.lax.dot_general(
+                    q8, hv8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                qs = q8.astype(jnp.int32).sum(axis=1, keepdims=True)
+                return (
+                    (da - db).astype(jnp.float32),             # Σ q8·q_lo
+                    ((db >> 4) + 8 * qs).astype(jnp.float32),  # Σ q8·q_hi
+                )
+
+            lo, hi = nibble_dots(xq)
+            lo = lo * sx
+            hi = hi * sx
+            if a8x2:
+                r = xg - xq.astype(jnp.float32) * sx
+                sx2 = sx * (1.0 / 254.0)
+                xq2 = jnp.clip(
+                    jnp.round(r / sx2), -127, 127
+                ).astype(jnp.int8)
+                lo2, hi2 = nibble_dots(xq2)
+                lo = lo + lo2 * sx2
+                hi = hi + hi2 * sx2
             xs = xg.sum(axis=1, keepdims=True)
             for sub in range(nsub):
                 sl = slice(sub * half, (sub + 1) * half)
@@ -145,6 +163,7 @@ def _q4_mlp_kernel(
     gu_half_cols: int,   # padded_n(inter): column offset of `up` in gu_scr
     eps: float,
     a8: bool = False,
+    a8x2: bool = False,
 ):
     t = pl.program_id(1)
 
@@ -163,7 +182,7 @@ def _q4_mlp_kernel(
         s = gus_ref[0].astype(jnp.float32)
         z = guz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            xn_scr[:], b8, s, z, groupsize, a8=a8
+            xn_scr[:], b8, s, z, groupsize, a8=a8, a8x2=a8x2
         )
         base = pl.multiple_of(t * bn_a, bn_a)
         for sub in range(len(acc_lo)):
@@ -185,7 +204,7 @@ def _q4_mlp_kernel(
         s = ds_ref[0].astype(jnp.float32)
         z = dz_ref[0].astype(jnp.float32)
         acc_lo, acc_hi = _npair_gemv_partials(
-            mid_scr[:], b8, s, z, groupsize, a8=a8
+            mid_scr[:], b8, s, z, groupsize, a8=a8, a8x2=a8x2
         )
         bn_b = out_ref.shape[1]
         base = pl.multiple_of(j * bn_b, bn_b)
@@ -236,7 +255,8 @@ def fused_mlp_applicable(
         return False
     if matmul_impl not in ("pallas", "pallas_interpret",
                            "pallas_a8", "pallas_a8_interpret",
-                           "pallas_a8t", "pallas_a8t_interpret"):
+                           "pallas_a8t", "pallas_a8t_interpret",
+                           "pallas_a8x2", "pallas_a8x2_interpret"):
         return False
     if m > GEMV_MAX_M:
         return False
@@ -261,7 +281,7 @@ def fused_mlp_applicable(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "groupsize", "bn_a", "bn_b", "inter", "eps", "interpret", "a8"
+        "groupsize", "bn_a", "bn_b", "inter", "eps", "interpret", "a8", "a8x2"
     ),
 )
 def _q4_mlp_call(
@@ -277,6 +297,7 @@ def _q4_mlp_call(
     eps: float,
     interpret: bool,
     a8: bool = False,
+    a8x2: bool = False,
 ):
     m_pad, k1p = h2.shape        # k1p = residual width (padded to n_out)
     k1 = nw.shape[1]             # true hidden = gate/up weight K
@@ -298,6 +319,7 @@ def _q4_mlp_call(
         gu_half_cols=gu_half_cols,
         eps=eps,
         a8=a8,
+        a8x2=a8x2,
     )
     last_a = steps_a - 1
     flops = 2 * m_pad * (k1 * n_gu + k2 * n_out)
@@ -385,5 +407,6 @@ def q4_mlp(
         bn_a=bn_a, bn_b=bn_b, inter=inter, eps=float(eps),
         interpret=impl.endswith("_interpret"),
         a8=impl.startswith("pallas_a8"),
+        a8x2=impl.startswith("pallas_a8x2"),
     )
     return out[:m, :k1].reshape(*lead, k1)

@@ -273,6 +273,7 @@ def _q4_gemv_kernel_npair_a8(
     have_xmap: bool = False,
     have_norm: bool = False,
     eps: float = 0.0,
+    two_pass: bool = False,
 ):
     """W4A8 decode kernel (opt-in ``matmul_impl="pallas_a8"``): activations
     quantize to int8 per (row, group) inside the kernel and the nibble dots
@@ -281,7 +282,15 @@ def _q4_gemv_kernel_npair_a8(
     one ``& 0xF0`` mask remains. The affine recovery happens in exact int32
     (d2 is a multiple of 16), then one f32 rescale per (group, output).
     Activation quantization adds ~0.4% relative noise on top of the 4-bit
-    weight error — a turbo mode, not the parity path."""
+    weight error — a turbo mode, not the parity path.
+
+    ``two_pass`` (``matmul_impl="pallas_a8x2"``): a second int8 dot over the
+    residual r = x − sx·q1 at scale sx/254 captures ~15 bits of the
+    activation — the combined quantization error (~2⁻¹⁴ of the group max)
+    sits BELOW the reference's own fp16 dot-accumulation error
+    (matrix.cuh:125-129), at the a8 kernel's convert-free streaming rate.
+    Costs two extra MXU int8 dots per group (the kernel is DMA-bound, so
+    ~free) and the VPU residual math on the [bm, gs] activation tile."""
     if have_norm:
         assert not have_xmap
         nw_ref, rest = rest[0], rest[1:]
@@ -326,17 +335,34 @@ def _q4_gemv_kernel_npair_a8(
         amax = jnp.max(jnp.abs(xg), axis=1, keepdims=True)   # [bm, 1]
         sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
         xq = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
-        d1 = jax.lax.dot_general(
-            xq, blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        d2 = jax.lax.dot_general(
-            xq, hv8, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        xqs = xq.astype(jnp.int32).sum(axis=1, keepdims=True)  # [bm, 1]
-        lo = (d1 - d2).astype(jnp.float32)                 # Σ xq·q_lo
-        hi = ((d2 >> 4) + 8 * xqs).astype(jnp.float32)     # Σ xq·q_hi
+
+        def nibble_dots(q8):
+            da = jax.lax.dot_general(
+                q8, blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            db = jax.lax.dot_general(
+                q8, hv8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            qs = q8.astype(jnp.int32).sum(axis=1, keepdims=True)  # [bm, 1]
+            return (
+                (da - db).astype(jnp.float32),              # Σ q8·q_lo
+                ((db >> 4) + 8 * qs).astype(jnp.float32),   # Σ q8·q_hi
+            )
+
+        lo, hi = nibble_dots(xq)
+        lo = lo * sx
+        hi = hi * sx
+        if two_pass:
+            # residual pass: r = x − sx·q1, |r| ≤ sx/2; at scale sx/254 the
+            # residual spans the full int8 range
+            r = xg - xq.astype(jnp.float32) * sx
+            sx2 = sx * (1.0 / 254.0)
+            xq2 = jnp.clip(jnp.round(r / sx2), -127, 127).astype(jnp.int8)
+            lo2, hi2 = nibble_dots(xq2)
+            lo = lo + lo2 * sx2
+            hi = hi + hi2 * sx2
         # zero-point term is independent of the activation quantization —
         # use the exact Σx (already in f32) rather than sx·Σxq
         xs = xg.sum(axis=1, keepdims=True)
@@ -344,10 +370,10 @@ def _q4_gemv_kernel_npair_a8(
             sl = slice(sub * half, (sub + 1) * half)
             lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
             hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
-            acc_ref[:, lo_c] += (lo[:, sl] * sx) * s[g : g + 1, lo_c] - xs * z[
+            acc_ref[:, lo_c] += lo[:, sl] * s[g : g + 1, lo_c] - xs * z[
                 g : g + 1, lo_c
             ]
-            acc_ref[:, hi_c] += (hi[:, sl] * sx) * s[g : g + 1, hi_c] - xs * z[
+            acc_ref[:, hi_c] += hi[:, sl] * s[g : g + 1, hi_c] - xs * z[
                 g : g + 1, hi_c
             ]
 
@@ -787,7 +813,7 @@ def _choose_block_m(m: int) -> int:
     jax.jit,
     static_argnames=(
         "groupsize", "block_k", "block_n", "out_dtype", "kernel_kind",
-        "layout", "interpret", "norm_eps",
+        "layout", "interpret", "norm_eps", "a8_two_pass",
     ),
 )
 def _q4_matmul_pallas_call(
@@ -807,6 +833,7 @@ def _q4_matmul_pallas_call(
     layout: str = "kgroup",
     interpret: bool,
     norm_eps: float = 1e-6,
+    a8_two_pass: bool = False,
 ):
     m, k = x2.shape
     n_pad = scales.shape[1]
@@ -842,6 +869,8 @@ def _q4_matmul_pallas_call(
         kernel = functools.partial(
             kernel, have_norm=have_norm, eps=norm_eps
         )
+        if kernel_kind == "gemv_a8":
+            kernel = functools.partial(kernel, two_pass=a8_two_pass)
     else:
         kernel = functools.partial(
             kern, groupsize=groupsize, block_k=block_k, out_dtype=out_dtype
@@ -911,7 +940,7 @@ KERNEL_PERMUTE_MAX_BLOCKS = 112
 
 def _q4_matmul_pallas(
     x: jax.Array, qt: QuantTensor, interpret: bool, a8: bool = False,
-    a8_prefill: bool = False,
+    a8_prefill: bool = False, a8_two_pass: bool = False,
     norm_w: "jax.Array | None" = None, norm_eps: float = 1e-6,
 ) -> jax.Array:
     *lead, k = x.shape
@@ -1022,6 +1051,7 @@ def _q4_matmul_pallas(
         layout=qt.layout,
         interpret=interpret,
         norm_eps=float(norm_eps),
+        a8_two_pass=a8_two_pass,
     )
     out = out[:m, : qt.out_features]
     return out.reshape(*lead, qt.out_features)
@@ -1071,27 +1101,20 @@ def q4_matmul(
             jnp.take(x, qt.x_map, axis=-1) if qt.x_map is not None else x
         )
         out = _q4_matmul_xla(x_q, qt)
-    elif impl == "pallas":
-        out = _q4_matmul_pallas(x, qt, interpret=False,
-                                norm_w=norm_w, norm_eps=norm_eps)
-    elif impl == "pallas_a8":
-        out = _q4_matmul_pallas(x, qt, interpret=False, a8=True,
-                                norm_w=norm_w, norm_eps=norm_eps)
-    elif impl == "pallas_a8_interpret":
-        out = _q4_matmul_pallas(x, qt, interpret=True, a8=True,
-                                norm_w=norm_w, norm_eps=norm_eps)
-    elif impl == "pallas_a8t":
-        # full-turbo: a8 at decode AND prefill (int8 MXU prefill dots)
-        out = _q4_matmul_pallas(x, qt, interpret=False, a8=True,
-                                a8_prefill=True,
-                                norm_w=norm_w, norm_eps=norm_eps)
-    elif impl == "pallas_a8t_interpret":
-        out = _q4_matmul_pallas(x, qt, interpret=True, a8=True,
-                                a8_prefill=True,
-                                norm_w=norm_w, norm_eps=norm_eps)
-    elif impl == "pallas_interpret":
-        out = _q4_matmul_pallas(x, qt, interpret=True,
-                                norm_w=norm_w, norm_eps=norm_eps)
+    elif impl.startswith("pallas"):
+        base = impl[: -len("_interpret")] if impl.endswith("_interpret") \
+            else impl
+        if base not in ("pallas", "pallas_a8", "pallas_a8t", "pallas_a8x2"):
+            raise ValueError(f"unknown q4_matmul impl: {impl}")
+        out = _q4_matmul_pallas(
+            x, qt,
+            interpret=impl.endswith("_interpret"),
+            a8=base != "pallas",
+            # 't' suffix = turbo prefill too (int8 MXU dots at prefill M)
+            a8_prefill=base.endswith("t"),
+            a8_two_pass=base.startswith("pallas_a8x2"),
+            norm_w=norm_w, norm_eps=norm_eps,
+        )
     else:
         raise ValueError(f"unknown q4_matmul impl: {impl}")
 

@@ -38,6 +38,11 @@ VARIANTS = {
     "turbo_fused": ("int8", dict(matmul_impl="pallas_a8")),
     "turbo_sep": ("int8", dict(matmul_impl="pallas_a8",
                                mlp_fuse=False, attn_fuse=False)),
+    # exact-grade two-pass W4A8 (bf16 KV): headline candidate
+    "a8x2_fused": ("bf16", dict(matmul_impl="pallas_a8x2")),
+    "a8x2_sep": ("bf16", dict(matmul_impl="pallas_a8x2",
+                              mlp_fuse=False, attn_fuse=False)),
+    "a8_bf16kv": ("bf16", dict(matmul_impl="pallas_a8")),
 }
 
 
