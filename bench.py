@@ -9,15 +9,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: 140 tok/s = reference RTX-4090 "worst" decode at 7B g128
 (BASELINE.md), the north-star per-chip number.
 
-Every section runs under its own guard: a compile/runtime failure in one
-variant nulls that field and lands in "errors", it cannot zero the round's
-evidence (round-2 lesson — VERDICT.md).
+Methodology notes (round 3):
+  * The axon tunnel costs ~27-30 ms of dispatch+fetch latency PER jit
+    call — pure RPC, not machine time (measured via an identity program;
+    a fully dead-code-eliminated 16-layer prefill still "took" 30 ms).
+    The headline decode is therefore a TWO-LENGTH fit (256- vs 128-step
+    chained loops: slope = per-token time, intercept ≈ the RPC cost);
+    other sections subtract the separately measured per-call latency.
+    Raw (unadjusted) values are also reported.
+  * All operands are staged on device before timing (np->jnp uploads cost
+    a round trip each).
+  * Every section runs under its own guard: a failure nulls that field and
+    lands in "errors"; it cannot zero the round's evidence.
 """
 
 import functools
 import json
 import time
-import traceback
 
 import numpy as np
 
@@ -25,7 +33,6 @@ ERRORS: dict[str, str] = {}
 
 
 def guard(name):
-    """Run section fn() under a guard; on failure record and return None."""
     def deco(fn):
         def run(*a, **k):
             try:
@@ -70,138 +77,203 @@ def main():
 
     rng = np.random.default_rng(0)
     prompt_len, decode_len = 1920, 128
-    ids = rng.integers(0, cfg.vocab_size, size=(1, prompt_len)).astype(np.int32)
+    ids = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, size=(1, prompt_len)), jnp.int32
+    )
 
     def sync(x):
         # axon's block_until_ready can return before execution finishes;
         # fetching a value to host is the only reliable fence.
         return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
+    # ---- per-call RPC latency (subtracted from single-call timings)
+    @jax.jit
+    def _ident(x):
+        return x + 1
+
+    z8 = jnp.zeros((8, 128), jnp.bfloat16)
+    sync(_ident(z8))
+    lat = min(
+        (lambda t0: (sync(_ident(z8)), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(8)
+    )
+    print(f" -- per-call RPC latency {lat*1e3:.1f} ms", flush=True)
+
+    common = dict(
+        heads=cfg.num_attention_heads,
+        kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        eps=cfg.rms_norm_eps,
+    )
+
+    @functools.lru_cache(maxsize=None)
+    def make_prefill(matmul_impl):
+        fc = functools.partial(
+            forward_chunk, attend_len=prompt_len, last_token_only=True,
+            preprocess_only=True, matmul_impl=matmul_impl, **common,
+        )
+
+        @functools.partial(jax.jit, donate_argnames=("kv",))
+        def pre(params, kv, toks):
+            _, kv = fc(params, kv, toks, jnp.int32(0), None, None)
+            return kv
+        return pre
+
+    def time_prefill(matmul_impl, label):
+        pre = make_prefill(matmul_impl)
+        kv = ExLlamaCache(model).state
+        kv = pre(model.params, kv, ids)
+        sync(kv.k[0][0, 17, 0, :1])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            kv = pre(model.params, kv, ids)
+            sync(kv.k[0][0, 17, 0, :1])
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        ts = prompt_len / max(t - lat, 1e-9)
+        print(f" -- {label} {ts:.1f} tok/s "
+              f"(raw call {prompt_len/t:.1f})", flush=True)
+        return ts, prompt_len / t
+
+    @guard("prompt")
+    def run_prompt():
+        return time_prefill(model._matmul_impl(), "prompt")
+
+    r = run_prompt()
+    prompt_ts, prompt_raw = r if r else (None, None)
+
+    @guard("turbo_prompt")
+    def run_turbo_prompt():
+        if backend != "tpu":
+            return None
+        return time_prefill("pallas_a8t", "turbo prompt")[0]
+
+    turbo_prompt_ts = run_turbo_prompt()
+
+    # ---- decode machinery ---------------------------------------------
     def make_step(**over):
         kw = dict(
-            attend_len=cfg.max_seq_len,
-            last_token_only=True,
-            preprocess_only=False,
-            heads=cfg.num_attention_heads,
-            kv_heads=cfg.num_key_value_heads,
-            head_dim=cfg.head_dim,
-            eps=cfg.rms_norm_eps,
-            matmul_impl=model._matmul_impl(),
-            head_mode="argmax",
+            attend_len=cfg.max_seq_len, last_token_only=True,
+            preprocess_only=False, matmul_impl=model._matmul_impl(),
+            head_mode="argmax", **common,
         )
         kw.update(over)
         step = functools.partial(forward_chunk, **kw)
 
-        @functools.partial(jax.jit, donate_argnames=("kv",))
-        def decode_n(params, kv, tok, past_len):
+        @functools.partial(
+            jax.jit, static_argnames=("n",), donate_argnames=("kv",)
+        )
+        def decode_n(params, kv, tok, past_len, *, n):
             def body(i, carry):
                 kv, tok, pos = carry
                 tok, kv = step(params, kv, tok, pos, None, None)
                 return kv, tok, pos + 1
             kv, tok, pos = jax.lax.fori_loop(
-                0, decode_len, body, (kv, tok, past_len)
+                0, n, body, (kv, tok, past_len)
             )
             return kv, tok
 
         return decode_n
 
     def fresh_kv(dtype=None):
-        """Prefill a fresh cache (decode loops donate their kv)."""
         c = ExLlamaCache(model) if dtype is None else ExLlamaCache(
             model, dtype=dtype)
-        c.current_seq_len = 0
-        model.forward(ids, c, preprocess_only=True)
+        pre = make_prefill(model._matmul_impl())
+        c.state = pre(model.params, c.state, ids)
         sync(c.state.k[0][0, 17, 0, :1])
         return c
 
     tok0 = jnp.asarray([[1]], jnp.int32)
+    past = jnp.int32(prompt_len)
 
-    def timed_decode(decode_n, kv, past, reps=3):
-        """Compile + time; returns (tok/s, last kv) or raises. Never reuses
-        a donated buffer: the caller must not touch kv afterwards."""
-        kv, tok = decode_n(model.params, kv, tok0, past)  # compile+run
+    def timed_decode(decode_n, kv, past, n=decode_len, reps=3):
+        kv, tok = decode_n(model.params, kv, tok0, past, n=n)
         sync(tok)
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            kv, tok = decode_n(model.params, kv, tok0, past)
+            kv, tok = decode_n(model.params, kv, tok0, past, n=n)
             sync(tok)
             times.append(time.perf_counter() - t0)
-        return decode_len / min(times), kv
+        return min(times), kv
 
-    # ---- prompt pass (prefill), 1 warmup + 2 timed (reference does 2)
-    @guard("prompt")
-    def run_prompt():
-        def prefill():
-            cache = ExLlamaCache(model)
-            t0 = time.perf_counter()
-            model.forward(ids, cache, preprocess_only=True)
-            sync(cache.state.k[0][0, 17, 0, :1])
-            return time.perf_counter() - t0
-
-        prefill()  # compile
-        ts = prompt_len / min(prefill(), prefill())
-        print(f" -- prompt {ts:.1f} tok/s", flush=True)
-        return ts
-
-    prompt_ts = run_prompt()
-
-    # ---- turbo prefill (W4A8 int8 MXU dots; opt-in extra)
-    @guard("turbo_prompt")
-    def run_turbo_prompt():
-        if backend != "tpu":
-            return None
-        import copy
-
-        from exllama_tpu.models.llama import ExLlama as _E
-
-        cfg_t = copy.deepcopy(cfg)
-        cfg_t.tuning.matmul_impl = "pallas_a8t"
-        model_t = _E(cfg_t, params=model.params)
-
-        def prefill_turbo():
-            cache_t = ExLlamaCache(model_t)
-            t0 = time.perf_counter()
-            model_t.forward(ids, cache_t, preprocess_only=True)
-            sync(cache_t.state.k[0][0, 17, 0, :1])
-            return time.perf_counter() - t0
-
-        prefill_turbo()
-        ts = prompt_len / min(prefill_turbo(), prefill_turbo())
-        print(f" -- turbo prompt {ts:.1f} tok/s", flush=True)
-        return ts
-
-    turbo_prompt_ts = run_turbo_prompt()
-
-    # ---- worst-ctx decode, default fusion flags; on a lowering failure
-    # fall back to separate kernels and remember for the later variants.
-    past = jnp.int32(prompt_len)
+    # ---- worst-ctx decode (headline): two-length fit
     fuse_over = {}
 
     @guard("decode_fused")
     def run_decode_fused():
-        return timed_decode(make_step(), fresh_kv().state, past)[0]
+        dec = make_step()
+        t128, kv = timed_decode(dec, fresh_kv().state, past, n=128)
+        t256, _ = timed_decode(dec, kv, past, n=256)
+        slope = (t256 - t128) / 128.0
+        ts = 1.0 / slope
+        print(f" -- worst decode {ts:.2f} tok/s "
+              f"(raw 128-call {128/t128:.2f}; fixed "
+              f"{(t128-128*slope)*1e3:.1f} ms/call)", flush=True)
+        return ts, 128 / t128
 
-    decode_ts = run_decode_fused()
+    r = run_decode_fused()
+    decode_ts, decode_raw = r if r else (None, None)
     if decode_ts is None:
         fuse_over = {"mlp_fuse": False, "attn_fuse": False}
 
         @guard("decode_separate")
         def run_decode_sep():
-            return timed_decode(
-                make_step(**fuse_over), fresh_kv().state, past)[0]
+            dec = make_step(**fuse_over)
+            t128, kv = timed_decode(dec, fresh_kv().state, past, n=128)
+            t256, _ = timed_decode(dec, kv, past, n=256)
+            ts = 128.0 / (t256 - t128)
+            print(f" -- worst decode (separate) {ts:.2f} tok/s", flush=True)
+            return ts, 128 / t128
 
-        decode_ts = run_decode_sep()
-    if decode_ts is not None:
-        print(f" -- worst decode {decode_ts:.2f} tok/s", flush=True)
+        r = run_decode_sep()
+        decode_ts, decode_raw = r if r else (None, None)
 
-    # ---- whole-layer megakernel (tuning.fuse_qkv): exact numerics
+    def simple_variant(name, label, kv_dtype=None, **over):
+        @guard(name)
+        def run():
+            dec = make_step(**fuse_over, **over)
+            t, _ = timed_decode(dec, fresh_kv(kv_dtype).state, past)
+            ts = decode_len / max(t - lat, 1e-9)
+            print(f" -- {label} {ts:.2f} tok/s "
+                  f"(raw {decode_len/t:.2f})", flush=True)
+            return ts
+        return run()
+
+    # exact-grade two-pass W4A8 (quantization error below the reference's
+    # own fp16 accumulation noise — docs/PERFORMANCE.md)
+    a8x2_ts = simple_variant("a8x2_decode", "a8x2 decode",
+                             matmul_impl="pallas_a8x2")
+
+    @guard("best_decode")
+    def run_best():
+        dec = make_step(attend_len=256, attn_impl=model._attn_impl(),
+                        **fuse_over)
+        t, _ = timed_decode(dec, fresh_kv().state, jnp.int32(1))
+        ts = decode_len / max(t - lat, 1e-9)
+        print(f" -- best decode {ts:.2f} tok/s", flush=True)
+        return ts
+
+    best_ts = run_best()
+
+    int8kv_ts = simple_variant("int8kv_decode", "int8kv decode",
+                               kv_dtype=jnp.int8)
+    turbo_ts = simple_variant("turbo_decode", "turbo decode",
+                              kv_dtype=jnp.int8, matmul_impl="pallas_a8")
+    int4_turbo_ts = simple_variant(
+        "int4kv_turbo_decode", "int4kv turbo decode",
+        kv_dtype="int4", matmul_impl="pallas_a8")
+
     @guard("qkvfuse")
     def run_qkvfuse():
         if backend != "tpu" or fuse_over:
             return None
-        ts, _ = timed_decode(
-            make_step(qkv_fuse=True), fresh_kv().state, past)
+        dec = make_step(qkv_fuse=True)
+        t, _ = timed_decode(dec, fresh_kv().state, past)
+        ts = decode_len / max(t - lat, 1e-9)
         print(f" -- qkvfuse decode {ts:.2f} tok/s", flush=True)
         return ts
 
@@ -210,61 +282,15 @@ def main():
             and qkvfuse_ts > decode_ts:
         decode_ts = qkvfuse_ts   # exact numerics — same metric
 
-    # ---- "best" decode: empty context (reference README.md:154-156)
-    @guard("best_decode")
-    def run_best():
-        step = make_step(attend_len=256, attn_impl=model._attn_impl(),
-                         **fuse_over)
-        ts, _ = timed_decode(step, fresh_kv().state, jnp.int32(1))
-        print(f" -- best decode {ts:.2f} tok/s", flush=True)
-        return ts
-
-    best_ts = run_best()
-
-    # ---- int8 KV cache decode (opt-in TPU-native extra)
-    @guard("int8kv_decode")
-    def run_int8kv():
-        ts, _ = timed_decode(
-            make_step(**fuse_over), fresh_kv(jnp.int8).state, past)
-        print(f" -- int8kv decode {ts:.2f} tok/s", flush=True)
-        return ts
-
-    int8kv_ts = run_int8kv()
-
-    # ---- turbo: W4A8 GEMV + int8 KV
-    @guard("turbo_decode")
-    def run_turbo():
-        ts, _ = timed_decode(
-            make_step(matmul_impl="pallas_a8", **fuse_over),
-            fresh_kv(jnp.int8).state, past)
-        print(f" -- turbo decode {ts:.2f} tok/s", flush=True)
-        return ts
-
-    turbo_ts = run_turbo()
-
-    # ---- max-throughput extra: turbo + int4 KV
-    @guard("int4kv_turbo_decode")
-    def run_int4_turbo():
-        ts, _ = timed_decode(
-            make_step(matmul_impl="pallas_a8", **fuse_over),
-            fresh_kv("int4").state, past)
-        print(f" -- int4kv turbo decode {ts:.2f} tok/s", flush=True)
-        return ts
-
-    int4_turbo_ts = run_int4_turbo()
-
-    # HBM-roofline framing: bytes per decode token at full context over the
-    # measured stream bandwidth; the reference runs 64% of ITS roofline
-    # (140 t/s * 4.6GB/token / 1008 GB/s on a 4090).
+    # HBM-roofline framing (740 GB/s measured stream bandwidth)
     hkv = cfg.num_key_value_heads
     bytes_per_tok = (
         model.num_params_bytes()
-        - cfg.vocab_size * cfg.hidden_size * 2  # embed not streamed
+        - cfg.vocab_size * cfg.hidden_size * 2
         + 2 * cfg.num_hidden_layers * cfg.max_seq_len * hkv
         * cfg.head_dim * 2
     )
-    hbm_gbps = 740.0  # measured v5e stream bandwidth (docs/PERFORMANCE.md)
-    roofline_ts = hbm_gbps * 1e9 / bytes_per_tok
+    roofline_ts = 740.0 * 1e9 / bytes_per_tok
 
     rnd = lambda v, n=2: (round(v, n) if v is not None else None)  # noqa: E731
     print(json.dumps({
@@ -272,13 +298,17 @@ def main():
         "value": rnd(decode_ts),
         "unit": "tok/s",
         "vs_baseline": rnd(decode_ts / 140.0, 3) if decode_ts else None,
+        "decode_tok_s_raw_call": rnd(decode_raw),
+        "a8x2_decode_tok_s": rnd(a8x2_ts),
         "best_decode_tok_s": rnd(best_ts),
         "int8kv_decode_tok_s": rnd(int8kv_ts),
         "turbo_decode_tok_s": rnd(turbo_ts),
         "prompt_tok_s": rnd(prompt_ts, 1),
+        "prompt_tok_s_raw_call": rnd(prompt_raw, 1),
         "turbo_prompt_tok_s": rnd(turbo_prompt_ts, 1),
         "qkvfuse_decode_tok_s": rnd(qkvfuse_ts),
         "int4kv_turbo_decode_tok_s": rnd(int4_turbo_ts),
+        "rpc_latency_ms": rnd(lat * 1e3, 1),
         "roofline_tok_s": round(roofline_ts, 1),
         "roofline_frac": (
             rnd(decode_ts / roofline_ts, 3) if decode_ts else None
@@ -287,7 +317,14 @@ def main():
         "errors": ERRORS or None,
         "backend": backend,
         "layers": layers,
-        "note": "synthetic 7B g128; baseline 140 tok/s = reference 4090 worst-decode (BASELINE.md); int8kv/turbo = opt-in int8 KV cache and W4A8 modes",
+        "note": (
+            "synthetic 7B g128; baseline 140 tok/s = reference 4090 "
+            "worst-decode (BASELINE.md). Headline = two-length fit "
+            "(256 vs 128 chained steps); extras subtract the measured "
+            "per-call RPC latency; *_raw_call = unadjusted. a8x2 = "
+            "two-pass W4A8 (error below the reference's own fp16 "
+            "accumulation); int8kv/turbo = opt-in int8 KV / one-pass W4A8."
+        ),
     }))
 
 

@@ -1,10 +1,14 @@
-"""Prefill ablation: time the real 16-layer prefill with individual
-pieces stubbed out (numerics-invalid, timing-valid) to attribute the
-per-layer budget. Monkeypatches are applied before each trace; every
-variant gets its own jit so there is no stale-executable hazard.
+"""Prefill ablation: time the real prefill with individual pieces stubbed
+out (numerics-invalid, timing-valid) to attribute the per-layer budget.
+
+Each variant gets its OWN jax.jit wrapper created while its monkeypatch is
+active (a module-level jitted function would silently reuse the base
+executable — the patch is invisible to the jit cache). All variants are
+then timed interleaved, so pool drift hits them alike.
 
 PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/ablate_prefill.py
 """
+import functools
 import os
 import sys
 import time
@@ -23,98 +27,105 @@ from exllama_tpu.models import llama as L
 
 PROMPT = 1920
 LAYERS = 16
+REPS = 4
 
 
 def sync(x):
     return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
 
-def build():
+def main():
+    assert jax.default_backend() == "tpu"
     cfg = ExLlamaConfig()
     cfg.num_hidden_layers = LAYERS
     cfg.max_seq_len = 2048
     cfg.max_input_len = 2048
     cfg.max_attention_size = 2048 ** 2
     params = make_synthetic_params(cfg, 128, False, seed=0, fast=True)
-    return L.ExLlama(cfg, params=params)
+    model = L.ExLlama(cfg, params=params)
+    ids = jnp.asarray(
+        (np.arange(PROMPT, dtype=np.int32)[None, :] * 31 + 7) % 32000
+    )
 
+    inner = L.forward_chunk.__wrapped__   # un-jitted forward_chunk
 
-def time_prefill(model, label):
-    ids = (np.arange(PROMPT, dtype=np.int32)[None, :] * 31 + 7) % 32000
-
-    def run():
-        cache = ExLlamaCache(model)
-        t0 = time.perf_counter()
-        model.forward(ids, cache, preprocess_only=True)
-        sync(cache.state.k[0][0, 3, 0, :1])
-        return time.perf_counter() - t0
-
-    run()  # compile
-    best = min(run() for _ in range(3))
-    print(f" -- {label}: {best*1e3:.1f} ms ({PROMPT/best:.0f} tok/s)",
-          flush=True)
-    return best
-
-
-def main():
-    assert jax.default_backend() == "tpu"
-    model = build()
-
-    base = time_prefill(model, "base")
-
-    # (1) silu -> identity (removes the transcendental, keeps the mul)
-    import jax.nn as jnn
-    real_silu = jnn.silu
-    jnn.silu = lambda x: x
-    t = time_prefill(model, "silu=identity")
-    jnn.silu = real_silu
-    print(f"    silu cost: {(base-t)*1e3:.1f} ms", flush=True)
-
-    # (2) attention -> passthrough (removes the flash kernel)
-    real_attend = L.attend
-    L.attend = lambda q, kc, vc, past, al, mask=None, **kw: q
-    t = time_prefill(model, "attend=passthrough")
-    L.attend = real_attend
-    print(f"    attention cost: {(base-t)*1e3:.1f} ms", flush=True)
-
-    # (3) KV write -> no-op
-    real_upd = L.update_kv_cache
-    L.update_kv_cache = lambda kc, vc, nk, nv, past, ks=None, vs=None: (
-        kc, vc, ks, vs)
-    t = time_prefill(model, "kvwrite=noop")
-    L.update_kv_cache = real_upd
-    print(f"    kv-write cost: {(base-t)*1e3:.1f} ms", flush=True)
-
-    # (4) rope -> identity
-    real_rope = L.apply_rope_sliced
-    L.apply_rope_sliced = lambda x, s, c: x
-    t = time_prefill(model, "rope=identity")
-    L.apply_rope_sliced = real_rope
-    print(f"    rope cost: {(base-t)*1e3:.1f} ms", flush=True)
-
-    # (5) norms -> identity
-    from exllama_tpu.ops import norms as N
-    real_norm = L.rms_norm
-    L.rms_norm = lambda x, w, eps: x
-    t = time_prefill(model, "norm=identity")
-    L.rms_norm = real_norm
-    print(f"    norm cost: {(base-t)*1e3:.1f} ms", flush=True)
-
-    # (6) matmuls -> cheap slice (removes ALL q4 kernels; keeps shapes via
-    # zeros of the right width — everything else still runs)
-    real_mm = L.q4_matmul
-    def fake_mm(x, qt, impl="auto", lora=None, norm_w=None, norm_eps=1e-6):
-        m = x.shape[:-1]
-        from exllama_tpu.formats.gptq import padded_n
-        return jnp.zeros(
-            (*m, qt.out_features
-             if qt.out_features % 1024 == 0 else qt.out_features),
-            x.dtype,
+    def fresh_jit():
+        fc = functools.partial(
+            inner,
+            attend_len=cfg.max_seq_len,
+            last_token_only=True,
+            preprocess_only=True,
+            heads=cfg.num_attention_heads,
+            kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim,
+            eps=cfg.rms_norm_eps,
+            matmul_impl="pallas",
         )
-    L.q4_matmul = fake_mm
-    t = time_prefill(model, "matmul=zeros")
-    L.q4_matmul = real_mm
-    print(f"    matmul cost: {(base-t)*1e3:.1f} ms", flush=True)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, kv, toks):
+            _, kv = fc(params, kv, toks, jnp.int32(0), None, None)
+            return kv
+        return run
+
+    # (name, patch(), unpatch()) triples
+    import jax.nn as jnn
+    real_silu, real_attend = jnn.silu, L.attend
+    real_upd, real_rope = L.update_kv_cache, L.apply_rope_sliced
+    real_mm = L.q4_matmul
+
+    def fake_mm(x, qt, impl="auto", lora=None, norm_w=None, norm_eps=1e-6):
+        return jnp.zeros((*x.shape[:-1], qt.out_features), x.dtype)
+
+    variants = [
+        ("base", lambda: None, lambda: None),
+        ("no_silu", lambda: setattr(jnn, "silu", lambda x: x),
+         lambda: setattr(jnn, "silu", real_silu)),
+        ("no_attend", lambda: setattr(
+            L, "attend", lambda q, kc, vc, past, al, mask=None, **kw: q),
+         lambda: setattr(L, "attend", real_attend)),
+        ("no_kvwrite", lambda: setattr(
+            L, "update_kv_cache",
+            lambda kc, vc, nk, nv, past, ks=None, vs=None: (kc, vc, ks, vs)),
+         lambda: setattr(L, "update_kv_cache", real_upd)),
+        ("no_matmul", lambda: setattr(L, "q4_matmul", fake_mm),
+         lambda: setattr(L, "q4_matmul", real_mm)),
+        ("no_rope", lambda: setattr(
+            L, "apply_rope_sliced", lambda x, s, c: x),
+         lambda: setattr(L, "apply_rope_sliced", real_rope)),
+    ]
+
+    fns = {}
+    kv = ExLlamaCache(model).state
+    for name, patch, unpatch in variants:
+        patch()
+        try:
+            fn = fresh_jit()
+            t0 = time.time()
+            kv = fn(model.params, kv, ids)   # trace+compile WITH the patch
+            sync(kv.k[0][0, 3, 0, :1])
+            print(f" -- compiled {name} ({time.time()-t0:.0f}s)", flush=True)
+            fns[name] = fn
+        finally:
+            unpatch()
+
+    times = {n: [] for n in fns}
+    for _ in range(REPS):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            kv = fn(model.params, kv, ids)
+            sync(kv.k[0][0, 3, 0, :1])
+            times[name].append(time.perf_counter() - t0)
+
+    base = min(times["base"])
+    print(f"\nbase: {base*1e3:.1f} ms ({PROMPT/base:.0f} tok/s "
+          f"at {LAYERS} layers)", flush=True)
+    for name in times:
+        if name == "base":
+            continue
+        t = min(times[name])
+        print(f"{name}: {t*1e3:.1f} ms  -> piece costs {(base-t)*1e3:.1f} ms"
+              f" ({(base-t)/LAYERS*1e3:.2f} ms/layer)", flush=True)
 
 
 if __name__ == "__main__":
