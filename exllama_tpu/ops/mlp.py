@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF, QuantTensor
 
 GEMV_MAX_M = 32
-_STEP_BYTES_MAX = 12 * 1024 * 1024
+# Per-grid-step weight-block byte cap for the fused kernels' GEMV phases
+# (bigger = fewer steps amortizing fixed per-step cost, smaller = finer
+# DMA/compute overlap). Env override for experiments only.
+_STEP_BYTES_MAX = int(
+    os.environ.get("EXL_STEP_BYTES_MAX", 12 * 1024 * 1024)
+)
 _VMEM_BUDGET = 96 * 1024 * 1024
 
 
