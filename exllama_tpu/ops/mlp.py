@@ -41,11 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 from exllama_tpu.formats.gptq import N_ALIGN, PAIR_HALF, QuantTensor
 
 GEMV_MAX_M = 32
-# Per-grid-step weight-block byte cap for the fused kernels' GEMV phases
-# (bigger = fewer steps amortizing fixed per-step cost, smaller = finer
-# DMA/compute overlap). Env override for experiments only.
+# Per-grid-step weight-block byte cap for the fused kernels' GEMV phases.
+# Swept on v5e (round 3): 2-6 MB is a flat optimum (a8x2 ~143 tok/s at
+# 7B), 12 MB loses ~4 tok/s, 25 MB halves throughput (block pairs crowd
+# VMEM and the pipeline loses its double buffering). Env override for
+# experiments only.
 _STEP_BYTES_MAX = int(
-    os.environ.get("EXL_STEP_BYTES_MAX", 12 * 1024 * 1024)
+    os.environ.get("EXL_STEP_BYTES_MAX", 4 * 1024 * 1024)
 )
 _VMEM_BUDGET = 96 * 1024 * 1024
 

@@ -711,7 +711,13 @@ GEMV_VMEM_BUDGET = 34 * 1024 * 1024
 # Steps much smaller than this pay the ~0.6 µs/step fixed cost (measured:
 # 774 GB/s at 4 × 2 MB steps vs ~600 GB/s at 11+ steps on wide-N matrices);
 # steps need to stay small enough to double-buffer within the VMEM budget.
-GEMV_STEP_BYTES_MAX = 12 * 1024 * 1024
+# Round-3 sweep on the fused-kernel GEMV phases found 2-6 MB optimal
+# (12 MB loses ~4 tok/s at 7B, 25 MB halves throughput once the block
+# pairs crowd VMEM); the standalone kernels follow the same cap. Env
+# override for experiments.
+GEMV_STEP_BYTES_MAX = int(
+    os.environ.get("EXL_GEMV_STEP_BYTES_MAX", 4 * 1024 * 1024)
+)
 
 
 def _choose_gemv_blocks_npair(
