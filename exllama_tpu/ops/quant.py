@@ -582,31 +582,84 @@ def _q4_prefill_kernel_npair_a8(
     s_ref,        # [1, K/gs, bn]
     z_ref,
     out_ref,      # [bm, bn]
+    w_scr,        # [K, bn] int8 re-quantized weight scratch
+    cs_scr,       # [8, bn] f32 per-column weight scales (row 0 real)
     *,
     groupsize: int,
     block_k: int,
     out_dtype,
 ):
-    """W4A8 turbo prefill: per-(row, group) int8-quantized activations feed
-    int8 MXU dots directly against the packed npair bytes (the decode a8
-    GEMV math at MXU-sized M tiles). No dequantized-weight scratch — the
-    int8 MXU path runs at ~2x the bf16 rate on v5e, so the dots replace
-    both the VPU dequant AND the bf16 matmul of the deqw2 kernel.
-    Noisier than decode turbo (~1-3% per matmul, compounding through the
-    KV cache over layers), hence opt-in via EXLLAMA_TPU_TURBO_PREFILL."""
-    from exllama_tpu.ops.mlp import _npair_gemv_partials
+    """W4A8 turbo prefill, 'deqw8' design: once per N-block the dequantized
+    weights are RE-quantized to per-column int8 in VMEM (two register
+    passes: column amax, then scaled store — the cached-dequant trick of
+    _q4_deqw2_kernel_npair with an int8 target); every M tile then runs
+    ONE full-K int8 MXU dot (~2x the bf16 MXU rate on v5e) plus a single
+    [bm, bn] rescale by (row activation scale x column weight scale).
 
-    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
-    acc_lo, acc_hi = _npair_gemv_partials(
-        x_ref[:], b8, s_ref[0].astype(jnp.float32),
-        z_ref[0].astype(jnp.float32), groupsize, a8=True,
-    )
+    This replaces the first a8t design, which reused the decode a8 GEMV
+    math at M=256 — its per-(group, sub-block) f32 rescales scale with
+    M x K/gs and measured 0.67x the EXACT prefill (round 3). Error: weight
+    re-quant <= colmax/254, activation per-row int8 <= rowmax/254; noisier
+    than decode turbo, opt-in (--turbo_prefill)."""
+    m_idx = pl.program_id(1)
+    gs = groupsize
     half = N_ALIGN // 2
-    for sub in range(len(acc_lo)):
-        lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
-        hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
-        out_ref[:, lo_c] = acc_lo[sub].astype(out_dtype)
-        out_ref[:, hi_c] = acc_hi[sub].astype(out_dtype)
+
+    @pl.when(m_idx == 0)
+    def _():
+        b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+        s = s_ref[0].astype(jnp.float32)
+        z = z_ref[0].astype(jnp.float32)
+        for sub in range(b8.shape[1] // half):
+            qcols = slice(sub * half, (sub + 1) * half)
+            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+
+            def wf_lo_hi(g):
+                blk = b8[g * gs : (g + 1) * gs, qcols]
+                bval = blk.astype(jnp.float32)
+                hv = (blk & (-16)).astype(jnp.float32)
+                w_lo = (bval - hv) * s[g : g + 1, lo_c] - z[g : g + 1, lo_c]
+                w_hi = hv * (s[g : g + 1, hi_c] * 0.0625) + (
+                    s[g : g + 1, hi_c] * 8.0 - z[g : g + 1, hi_c]
+                )
+                return w_lo, w_hi
+
+            cm_lo = jnp.zeros((1, half), jnp.float32)
+            cm_hi = jnp.zeros((1, half), jnp.float32)
+            for g in range(block_k // gs):
+                w_lo, w_hi = wf_lo_hi(g)
+                cm_lo = jnp.maximum(
+                    cm_lo, jnp.max(jnp.abs(w_lo), axis=0, keepdims=True)
+                )
+                cm_hi = jnp.maximum(
+                    cm_hi, jnp.max(jnp.abs(w_hi), axis=0, keepdims=True)
+                )
+            inv_lo = 127.0 / jnp.maximum(cm_lo, 1e-20)
+            inv_hi = 127.0 / jnp.maximum(cm_hi, 1e-20)
+            cs_scr[0:1, lo_c] = 1.0 / inv_lo
+            cs_scr[0:1, hi_c] = 1.0 / inv_hi
+            for g in range(block_k // gs):
+                w_lo, w_hi = wf_lo_hi(g)
+                rows = slice(g * gs, (g + 1) * gs)
+                w_scr[rows, lo_c] = jnp.clip(
+                    jnp.round(w_lo * inv_lo), -127, 127
+                ).astype(jnp.int8)
+                w_scr[rows, hi_c] = jnp.clip(
+                    jnp.round(w_hi * inv_hi), -127, 127
+                ).astype(jnp.int8)
+
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)       # [bm, 1]
+    sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_scr[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (
+        acc.astype(jnp.float32) * sx * cs_scr[0:1, :]
+    ).astype(out_dtype)
 
 
 DEQW2_VMEM_BUDGET = 100 * 1024 * 1024
@@ -616,7 +669,8 @@ def _deqw2_vmem_bytes(
     k: int, bn: int, bm: int, groupsize: int, a8: bool = False
 ) -> int:
     return (
-        (0 if a8 else k * bn * 2)    # dequantized scratch (bf16; a8: none)
+        # dequantized scratch: bf16, or int8 + col scales for deqw8 (a8)
+        ((k * bn + 8 * bn * 4) if a8 else k * bn * 2)
         + (k // 8) * bn * 4 * 2      # qweight blocks, double buffered
         + bm * k * 2 * 2             # x blocks
         + (k // groupsize) * bn * 2 * 4
@@ -689,7 +743,9 @@ def _q4_matmul_deqw2_call(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
         scratch_shapes=(
-            [] if a8 else [pltpu.VMEM((k, block_n), jnp.bfloat16)]
+            [pltpu.VMEM((k, block_n), jnp.int8),
+             pltpu.VMEM((8, block_n), jnp.float32)]
+            if a8 else [pltpu.VMEM((k, block_n), jnp.bfloat16)]
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
