@@ -45,6 +45,22 @@ rng = np.random.default_rng(0)
 prompt_len, decode_len = 1920, 64
 ids = rng.integers(0, cfg.vocab_size, size=(1, prompt_len)).astype(np.int32)
 
+# per-call RPC latency of the axon tunnel (pure dispatch+fetch overhead,
+# subtracted from single-call timings — docs/PERFORMANCE.md round 3)
+@jax.jit
+def _ident(x):
+    return x + 1
+
+_z = jnp.zeros((8, 128), jnp.bfloat16)
+np.asarray(_ident(_z))
+LAT = min(
+    (lambda t0: (np.asarray(_ident(_z)), time.perf_counter() - t0)[1])(
+        time.perf_counter()
+    )
+    for _ in range(8)
+)
+log(f"RPC latency {LAT*1e3:.1f} ms")
+
 t0 = time.perf_counter()
 model.forward(ids, cache, preprocess_only=True)
 np.asarray(cache.state.k[0][0, 0, 0, :1])
@@ -53,8 +69,9 @@ cache.current_seq_len = 0
 t0 = time.perf_counter()
 model.forward(ids, cache, preprocess_only=True)
 np.asarray(cache.state.k[0][0, 0, 0, :1])
-prompt_ts = prompt_len / (time.perf_counter() - t0)
-log(f"prompt: {prompt_ts:.0f} tok/s")
+_traw = time.perf_counter() - t0
+prompt_ts = prompt_len / max(_traw - LAT, 1e-9)
+log(f"prompt: {prompt_ts:.0f} tok/s (raw {prompt_len/_traw:.0f})")
 
 step = functools.partial(
     forward_chunk, attend_len=cfg.max_seq_len, last_token_only=True,
@@ -86,9 +103,10 @@ for _ in range(3):
     kv, tok = decode_n(model.params, kv, tok0, past)
     np.asarray(tok).ravel()[0]
     ts.append(time.perf_counter() - t0)
-dt = min(ts) / decode_len
+dt = max(min(ts) - LAT, 1e-9) / decode_len
 log(f"13B act={_act} worst decode: {dt*1e3:.2f} ms/tok = {1/dt:.1f} tok/s "
-    f"(reference 13B g128 non-act 4090: 86 tok/s worst)")
+    f"(raw {decode_len/min(ts):.1f}; "
+    f"reference 13B g128 non-act 4090: 86 tok/s worst)")
 
 
 # --- whole-layer megakernel (tuning.fuse_qkv), exact numerics; act-order
