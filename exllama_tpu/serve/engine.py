@@ -414,6 +414,14 @@ class ContinuousBatchingEngine:
         self._slot_lora = np.full(max_slots, -1, np.int32)
         self._batched_lora = None      # rebuilt when slot↔adapter map changes
         self._lora_dirty = False
+        # Device-side step operands (cursors, pending tokens, sampler
+        # vectors) are cached between steps and refreshed only when the
+        # slot map changes — on a steady decode step the only host↔device
+        # traffic is ONE packed fetch of (tokens, pos, lens). Each
+        # host→device upload costs a full RPC round trip on remote-tunnel
+        # hosts (docs/PERFORMANCE.md round 3) and ~µs locally.
+        self._dev_ops = None
+        self._sched_dirty = True
 
     # --------------------------------------------------------------- LoRA
 
@@ -557,6 +565,7 @@ class ContinuousBatchingEngine:
         self.seq_bufs = self.seq_bufs.at[slot].set(jnp.asarray(buf))
         self.slot_req[slot] = req
         req.state = RUNNING
+        self._sched_dirty = True
         if int(self._slot_lora[slot]) != req.lora_id:
             self._slot_lora[slot] = req.lora_id
             self._lora_dirty = True
@@ -660,23 +669,42 @@ class ContinuousBatchingEngine:
 
         vec = self._sampler_vec
 
+        if self._sched_dirty or self._dev_ops is None:
+            self._dev_ops = {
+                "pending": jnp.asarray(self.pending[:, None]),
+                "pos": jnp.asarray(self.pos),
+                "lens": jnp.asarray(self.seq_lens),
+                "active": jnp.asarray(active),
+                "temp": jnp.asarray(vec("temperature", 1.0, np.float32)),
+                "top_k": jnp.asarray(vec("top_k", 1, np.int32)),
+                "top_p": jnp.asarray(vec("top_p", 0.0, np.float32)),
+                "min_p": jnp.asarray(vec("min_p", 0.0, np.float32)),
+                "typical": jnp.asarray(vec("typical", 0.0, np.float32)),
+                "rep": jnp.asarray(
+                    vec("token_repetition_penalty_max", 1.0, np.float32)
+                ),
+                "bias": jnp.asarray(self._bias),
+            }
+            self._sched_dirty = False
+        dev = self._dev_ops
+
         self.key, sub = jax.random.split(self.key)
         tokens, new_kv, self.seq_bufs, pos_new, lens_new = _engine_step(
             self.model.params,
             self.cache.state,
-            jnp.asarray(self.pending[:, None]),
-            jnp.asarray(self.pos),
+            dev["pending"],
+            dev["pos"],
             self.seq_bufs,
-            jnp.asarray(self.seq_lens),
+            dev["lens"],
             sub,
-            jnp.asarray(active),
-            jnp.asarray(vec("temperature", 1.0, np.float32)),
-            jnp.asarray(vec("top_k", 1, np.int32)),
-            jnp.asarray(vec("top_p", 0.0, np.float32)),
-            jnp.asarray(vec("min_p", 0.0, np.float32)),
-            jnp.asarray(vec("typical", 0.0, np.float32)),
-            jnp.asarray(vec("token_repetition_penalty_max", 1.0, np.float32)),
-            jnp.asarray(self._bias),
+            dev["active"],
+            dev["temp"],
+            dev["top_k"],
+            dev["top_p"],
+            dev["min_p"],
+            dev["typical"],
+            dev["rep"],
+            dev["bias"],
             self._batched_lora,
             attend_len=attend_len,
             heads=cfg.num_attention_heads,
@@ -692,10 +720,22 @@ class ContinuousBatchingEngine:
             qkv_fuse=self.model.config.tuning.fuse_qkv,
         )
         self.cache.state = new_kv
-        tokens = np.asarray(tokens)
+        # device-side copies roll forward as next step's operands (no
+        # re-upload unless the slot map changes)...
+        tokens_dev = tokens.reshape(-1).astype(jnp.int32)
+        self._dev_ops["pending"] = tokens_dev.reshape(-1, 1)
+        self._dev_ops["pos"] = pos_new
+        self._dev_ops["lens"] = lens_new
+        # ...and ONE packed device→host fetch gives the scheduler its
+        # mirrors (tokens, cursors, lengths).
+        packed = np.asarray(jnp.stack([
+            tokens_dev, pos_new.astype(jnp.int32),
+            lens_new.astype(jnp.int32),
+        ]))
+        tokens = packed[0]
         # np.asarray on jax arrays gives read-only views; we mutate these
-        self.pos = np.array(pos_new)
-        self.seq_lens = np.array(lens_new)
+        self.pos = np.array(packed[1])
+        self.seq_lens = np.array(packed[2])
 
         results = []
         for slot, req in enumerate(self.slot_req):
@@ -718,6 +758,7 @@ class ContinuousBatchingEngine:
                 req.state = DONE
                 self.slot_req[slot] = None
                 self.free.append(slot)
+                self._sched_dirty = True
             results.append((req, tok, finished))
         return results
 
@@ -725,6 +766,7 @@ class ContinuousBatchingEngine:
         """Speculative step: host-side drafts per slot, one batched K+1
         verify forward, commit the accepted prefix (+ correction/bonus)."""
         cfg = self.model.config
+        self._sched_dirty = True   # spec commits bypass the device-op cache
         kd = self.spec_lookahead
         k1 = kd + 1
         draft = np.zeros((self.max_slots, kd), np.int32)

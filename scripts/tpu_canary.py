@@ -59,7 +59,8 @@ def check(name: str, default_on: bool = True):
     return deco
 
 
-def _model(layers=2, kv="bf16"):
+def _model(layers=2, kv="bf16", groupsize=128, act_order=False,
+           shape="7b"):
     import jax.numpy as jnp
 
     from exllama_tpu.cache import ExLlamaCache
@@ -68,12 +69,24 @@ def _model(layers=2, kv="bf16"):
     from exllama_tpu.models.llama import ExLlama
 
     cfg = ExLlamaConfig()
+    if shape == "33b":      # hidden % 1024 != 0 (padded npair columns)
+        cfg.hidden_size = 6656
+        cfg.intermediate_size = 17920
+        cfg.num_attention_heads = 52
+        cfg.num_key_value_heads = 52
+        cfg.head_dim = 128
+    elif shape == "d64":    # 64-lane head dim + GQA
+        cfg.hidden_size = 2048
+        cfg.intermediate_size = 5632
+        cfg.num_attention_heads = 32
+        cfg.num_key_value_heads = 8
+        cfg.head_dim = 64
     cfg.num_hidden_layers = layers
     cfg.max_seq_len = 2048
     cfg.max_input_len = 2048
     cfg.max_attention_size = 2048 ** 2
-    params = make_synthetic_params(cfg, groupsize=128, act_order=False,
-                                   seed=0, fast=True)
+    params = make_synthetic_params(cfg, groupsize=groupsize,
+                                   act_order=act_order, seed=0, fast=True)
     model = ExLlama(cfg, params=params)
     dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, "int4": "int4"}[kv]
     cache = ExLlamaCache(model, dtype=dtype)
@@ -196,7 +209,37 @@ def main():
             eps=cfg.rms_norm_eps, matmul_impl="pallas", head_mode="argmax")
         np.asarray(tok)
 
-    for c in (c1, c2, c3, c4, c5, c6, c7, c8, c9):
+    # risky shape combos (VERDICT r2 item 9): these pass interpret tests
+    # but have never seen real Mosaic until this canary
+    @check("decode_33b_shapes")          # hidden 6656 (non-1024-multiple)
+    def c10():
+        m, c = _model(layers=1, shape="33b")
+        _decode_step(m, c, heads=m.config.num_attention_heads,
+                     kv_heads=m.config.num_key_value_heads,
+                     head_dim=m.config.head_dim)
+
+    @check("decode_33b_g32_act")         # g32 + act-order at 6656
+    def c11():
+        m, c = _model(layers=1, shape="33b", groupsize=32, act_order=True)
+        _decode_step(m, c, heads=m.config.num_attention_heads,
+                     kv_heads=m.config.num_key_value_heads,
+                     head_dim=m.config.head_dim)
+
+    @check("decode_d64_gqa")             # head_dim 64 + GQA 32q/8kv
+    def c12():
+        m, c = _model(layers=1, shape="d64")
+        _decode_step(m, c, heads=m.config.num_attention_heads,
+                     kv_heads=m.config.num_key_value_heads,
+                     head_dim=m.config.head_dim)
+
+    @check("decode_d64_int8kv")
+    def c13():
+        m, c = _model(layers=1, shape="d64", kv="int8")
+        _decode_step(m, c, heads=m.config.num_attention_heads,
+                     kv_heads=m.config.num_key_value_heads,
+                     head_dim=m.config.head_dim)
+
+    for c in (c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13):
         c()
 
     bad_default = [k for k, v in RESULTS.items()
