@@ -142,7 +142,7 @@ if not _act:
             kv, tok = decode_f(model.params, kv, tok0, past)
             np.asarray(tok).ravel()[0]
             ts.append(time.perf_counter() - t0)
-        dtf = min(ts) / decode_len
+        dtf = max(min(ts) - LAT, 1e-9) / decode_len
         log(f"13B megakernel decode: {dtf*1e3:.2f} ms/tok = "
             f"{1/dtf:.1f} tok/s")
     except Exception as e:
@@ -176,7 +176,7 @@ try:
         kv, tok = decode_t(model.params, kv, tok0, past)
         np.asarray(tok).ravel()[0]
         ts.append(time.perf_counter() - t0)
-    dtt = min(ts) / decode_len
+    dtt = max(min(ts) - LAT, 1e-9) / decode_len
     log(f"13B turbo decode: {dtt*1e3:.2f} ms/tok = {1/dtt:.1f} tok/s")
 except Exception as e:
     log(f" !! turbo decode failed ({type(e).__name__})")
