@@ -53,6 +53,11 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("--turbo", action="store_true",
                         help="W4A8 decode matmuls + int8 KV cache "
                              "(fastest; small activation-quant noise)")
+    parser.add_argument("--a8x2", action="store_true",
+                        help="two-pass W4A8 decode matmuls, bf16 KV: "
+                             "exact-grade (activation-quant error below "
+                             "the reference's own fp16 accumulation) at "
+                             "near-turbo speed")
     parser.add_argument("--turbo_prefill", action="store_true",
                         help="with --turbo: W4A8 prefill too (int8 MXU "
                              "dots, ~2x prefill rate; noisier — prefill "
@@ -136,6 +141,8 @@ def make_config(args) -> ExLlamaConfig:
             "pallas_a8t" if getattr(args, "turbo_prefill", False)
             else "pallas_a8"
         )
+    elif getattr(args, "a8x2", False) and args.matmul_impl == "auto":
+        config.tuning.matmul_impl = "pallas_a8x2"
     elif getattr(args, "turbo_prefill", False):
         print(" !! --turbo_prefill ignored: requires --turbo with "
               "--matmul_impl auto (got "

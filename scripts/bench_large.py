@@ -51,6 +51,10 @@ CONFIGS = {
     # Llama-2-70B GQA: 8192 hidden, 64 q / 8 kv heads, 80 layers
     "70b-g128-act": (8192, 28672, 64, 8, 80, 128, True, (8, 16),
                      {"prompt": 914, "best": 17, "worst": 14}),
+    # Llama-65B: 8192 hidden, 64 MHA heads, 80 layers (reference row is
+    # dual-GPU, README.md:173 — per-chip slope comparison here)
+    "65b-g128-act": (8192, 22016, 64, 64, 80, 128, True, (8, 16),
+                     {"prompt": 1109, "best": 20, "worst": 18}),
 }
 
 
