@@ -69,6 +69,62 @@ def _sample_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "n", "attend_len", "heads", "kv_heads", "head_dim", "eps",
+        "matmul_impl", "attn_impl", "sustain", "decay",
+        "mlp_fuse", "attn_fuse", "qkv_fuse",
+    ),
+    donate_argnames=("kv",),
+)
+def _decode_loop_n(
+    params, kv, seq_buf, tok, past, key,
+    temperature, top_k, top_p, min_p, typical, penalty_max,
+    bos_token_id, logit_bias, lora,
+    *,
+    n: int, attend_len: int, heads: int, kv_heads: int, head_dim: int,
+    eps: float, matmul_impl: str, attn_impl: str,
+    sustain: int, decay: int,
+    mlp_fuse: bool = True, attn_fuse: bool = True, qkv_fuse: bool = False,
+):
+    """n chained (forward → rep-penalty → sample) steps in ONE dispatch.
+
+    The reference's sampling loop round-trips to the host every token
+    (generator.py:344-382) — microseconds on PCIe, a full RPC on remote
+    TPU hosts, and a dispatch either way. Chaining the steps under one
+    jit removes all of it; the host only sees the n sampled tokens."""
+    from exllama_tpu.models.llama import forward_chunk
+
+    b = tok.shape[0]
+    out = jnp.zeros((n, b), jnp.int32)
+
+    def body(i, carry):
+        kv, seq_buf, tok, pos, key, out = carry
+        logits, kv = forward_chunk(
+            params, kv, tok, pos, None, lora,
+            attend_len=attend_len, last_token_only=True,
+            preprocess_only=False, heads=heads, kv_heads=kv_heads,
+            head_dim=head_dim, eps=eps, matmul_impl=matmul_impl,
+            attn_impl=attn_impl, mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
+            qkv_fuse=qkv_fuse,
+        )
+        key, sub = jax.random.split(key)
+        tokens, _, seq_buf = _sample_step(
+            logits.astype(jnp.float32), seq_buf, pos + 1, sub,
+            temperature, top_k, top_p, min_p, typical, penalty_max,
+            bos_token_id, logit_bias, sustain=sustain, decay=decay,
+        )
+        out = out.at[i].set(tokens)
+        return kv, seq_buf, tokens[:, None], pos + 1, key, out
+
+    kv, seq_buf, tok, pos, key, out = jax.lax.fori_loop(
+        0, n, body,
+        (kv, seq_buf, tok, jnp.int32(past), key, out),
+    )
+    return out, kv, seq_buf
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("n_out", "sustain", "decay"),
 )
 def _beam_init_filter(
@@ -396,9 +452,58 @@ class ExLlamaGenerator:
 
     # ---------------------------------------------------------- simple loop
 
-    def generate_simple(self, prompt, max_new_tokens: int = 128):
+    def gen_tokens(self, n: int) -> np.ndarray:
+        """n sampled tokens in ONE device dispatch (`_decode_loop_n`):
+        forward, repetition penalty, the full sampler stack, and the
+        history-buffer update all chained on device. Semantically n
+        `gen_single_token()` calls without constraints/mask overrides.
+        Returns np [B, n]; sequence and cache advance by n."""
+        self.end_beam_search()
+        assert self.sequence is not None and self.sequence.shape[1] > 0
+        cfg = self.model.config
+        s = self.settings
+        past = self.cache.current_seq_len
+        assert past + n <= cfg.max_seq_len, (past, n)
+        out, kv, self._seq_buf = _decode_loop_n(
+            self.model.params, self.cache.state, self._seq_buf,
+            jnp.asarray(self.sequence[:, -1:]), jnp.int32(past),
+            self._next_key(),
+            jnp.float32(s.temperature), jnp.int32(s.top_k),
+            jnp.float32(s.top_p), jnp.float32(s.min_p),
+            jnp.float32(s.typical),
+            jnp.float32(s.token_repetition_penalty_max),
+            jnp.int32(self.tokenizer.bos_token_id),
+            self._logit_bias(None),
+            self.lora.stacked if self.lora is not None else None,
+            n=n,
+            attend_len=self.model._attend_len(past + n + 1),
+            heads=cfg.num_attention_heads,
+            kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim,
+            eps=cfg.rms_norm_eps,
+            matmul_impl=self.model._matmul_impl(),
+            attn_impl=self.model._attn_impl(),
+            sustain=s.token_repetition_penalty_sustain,
+            decay=s.token_repetition_penalty_decay,
+            mlp_fuse=cfg.tuning.fuse_mlp,
+            attn_fuse=cfg.tuning.fuse_attn,
+            qkv_fuse=cfg.tuning.fuse_qkv,
+        )
+        self.cache.state = kv
+        self.cache.current_seq_len = past + n
+        toks = np.asarray(out).T.astype(np.int32)     # [B, n]
+        self.sequence = np.concatenate([self.sequence, toks], axis=1)
+        self.sequence_actual = self.sequence
+        return toks
+
+    def generate_simple(self, prompt, max_new_tokens: int = 128,
+                        loop_chunk: int = 16):
         """Encode → prefill → sample loop with per-row EOS tracking →
-        decode (generator.py:311-328)."""
+        decode (generator.py:311-328). Decodes ``loop_chunk`` tokens per
+        device dispatch (gen_tokens); EOS is checked between chunks and
+        overshoot past the all-rows-EOS point is rewound, so the result
+        matches the reference's per-token loop. Left-padded batches (which
+        need the attention input mask) keep the per-token path."""
         self.end_beam_search()
         ids, mask = self.tokenizer.encode(
             prompt,
@@ -416,11 +521,28 @@ class ExLlamaGenerator:
             max_new_tokens, self.model.config.max_seq_len - ids.shape[1]
         )
         eos = np.zeros((ids.shape[0],), bool)
-        for _ in range(max_new_tokens):
-            token = self.gen_single_token()
-            eos |= token[:, 0] == self.tokenizer.eos_token_id
-            if eos.all():
-                break
+        eos_id = self.tokenizer.eos_token_id
+        if self._mask is None and loop_chunk > 1:
+            done = 0
+            while done < max_new_tokens:
+                k = min(loop_chunk, max_new_tokens - done)
+                toks = self.gen_tokens(k)             # [B, k]
+                done += k
+                # earliest chunk position after which every row has EOS
+                seen = eos[:, None] | np.cumsum(
+                    toks == eos_id, axis=1
+                ).astype(bool)
+                allpos = np.nonzero(seen.all(axis=0))[0]
+                if allpos.size:
+                    self.gen_rewind(k - (int(allpos[0]) + 1))
+                    break
+                eos = seen[:, -1]
+        else:
+            for _ in range(max_new_tokens):
+                token = self.gen_single_token()
+                eos |= token[:, 0] == eos_id
+                if eos.all():
+                    break
         text = self.tokenizer.decode(
             self.sequence[0] if self.sequence.shape[0] == 1 else self.sequence
         )

@@ -120,3 +120,29 @@ def test_rep_penalty_reduces_repeats(gen):
     toks = [int(gen.gen_single_token()[0, 0]) for _ in range(6)]
     assert len(set(toks)) > 1
     gen.settings.token_repetition_penalty_max = 1.15
+
+
+def test_gen_tokens_matches_single_token_greedy(gen):
+    """The on-device chunked loop must reproduce the per-token path
+    exactly under greedy sampling (same forwards, same penalty state)."""
+    gen.settings.temperature = 1.0
+    gen.settings.top_k = 1
+    ids = gen.tokenizer.encode("the quick brown fox")
+    gen.gen_begin(ids)
+    ref = [int(gen.gen_single_token()[0, 0]) for _ in range(6)]
+    ref_cursor = gen.cache.current_seq_len
+
+    gen.gen_begin(ids)
+    toks = gen.gen_tokens(6)
+    assert toks.shape == (1, 6)
+    assert toks[0].tolist() == ref
+    assert gen.cache.current_seq_len == ref_cursor
+    assert gen.sequence.shape[1] == ids.shape[1] + 6
+
+
+def test_generate_simple_chunked_matches_per_token(gen):
+    gen.settings.temperature = 1.0
+    gen.settings.top_k = 1
+    t1 = gen.generate_simple("hello world", max_new_tokens=9, loop_chunk=4)
+    t2 = gen.generate_simple("hello world", max_new_tokens=9, loop_chunk=1)
+    assert t1 == t2
