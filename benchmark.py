@@ -93,32 +93,54 @@ def mem_report():
 
 
 def run_perf(model, cache, args):
-    import jax
-
     cfg = model.config
     rng = np.random.default_rng(0)
     ids = rng.integers(0, cfg.vocab_size,
                        size=(1, args.length - 128)).astype(np.int32)
 
-    # warmup (compile), then timed prompt pass — reference does 2 warmups
+    def fence():
+        # block_until_ready does not fence through the axon tunnel; the
+        # only reliable fence is fetching a value to host.
+        np.asarray(cache.state.k[0][0, 0, 0, :1])
+
+    # warmup at the TIMED shape (2x, like the reference's warmup passes) —
+    # a shorter warmup compiles a different chunk length and the timed
+    # pass would then include the real compile.
     for _ in range(2):
         cache.current_seq_len = 0
-        model.forward(ids[:, :16], cache, preprocess_only=True)
+        model.forward(ids, cache, preprocess_only=True)
+        fence()
     cache.current_seq_len = 0
     t, _ = timer(lambda: (
         model.forward(ids, cache, preprocess_only=True),
-        jax.block_until_ready(cache.state.k),
+        fence(),
     ))
     print(f" ** Speed: {ids.shape[1] / t:.2f} prompt tokens/second")
 
-    # decode 128 tokens twice: "best" = empty-ish ctx, "worst" = full ctx
+    # decode 128 tokens twice: "best" = empty-ish ctx, "worst" = full ctx.
+    # gen_tokens(n) runs the whole sampled loop in one device dispatch; a
+    # two-length fit (128 vs 32) removes the per-dispatch RPC latency that
+    # would otherwise be billed to the machine (docs/PERFORMANCE.md).
     gen = ExLlamaGenerator(model, _dummy_tok(cfg), cache)
     gen.settings.top_k = 1
+    def timed_chunk(gen, n, reps=2):
+        best = None
+        for _ in range(reps):
+            t, _ = timer(lambda: gen.gen_tokens(n))
+            gen.gen_rewind(n)
+            best = t if best is None else min(best, t)
+        return best
+
     for label, begin_len in (("best", 1), ("worst", ids.shape[1])):
         gen.gen_begin(ids[:, :begin_len])
-        gen.gen_single_token()  # compile
-        t, _ = timer(lambda: [gen.gen_single_token() for _ in range(128)])
-        print(f" ** Speed: {128 / t:.2f} tokens/second ({label})")
+        for n in (32, 128):  # compile both loop lengths
+            gen.gen_tokens(n)
+            gen.gen_rewind(n)
+        t_long = timed_chunk(gen, 128)
+        t_short = timed_chunk(gen, 32)
+        per_tok = (t_long - t_short) / 96
+        print(f" ** Speed: {1 / per_tok:.2f} tokens/second ({label}) "
+              f"[raw single-call {128 / t_long:.2f}]")
 
     print(f" ** Device memory in use: {mem_report() / 1024**2:,.2f} MB")
 

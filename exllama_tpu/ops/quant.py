@@ -681,7 +681,8 @@ def _deqw2_vmem_bytes(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "groupsize", "block_n", "out_dtype", "layout", "interpret", "a8"
+        "groupsize", "block_n", "out_dtype", "layout", "interpret", "a8",
+        "block_m",
     ),
 )
 def _q4_matmul_deqw2_call(
@@ -696,10 +697,12 @@ def _q4_matmul_deqw2_call(
     layout: str = "kgroup",
     interpret: bool,
     a8: bool = False,
+    block_m: "int | None" = None,
 ):
     m, k = x2.shape
     n_pad = scales.shape[1]
-    bm = _choose_block_m(m)
+    bm = block_m if block_m is not None else _choose_block_m(m)
+    assert m % bm == 0, (m, bm)
     gsz = k // groupsize
     grid = (n_pad // block_n, m // bm)   # M innermost: scratch reused
     scales3 = scales.reshape(1, gsz, n_pad)
@@ -981,7 +984,13 @@ def _q4_matmul_pallas_call(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # Mosaic's actual scoped need for the deqw grid runs ~2.3x the
+            # _vmem_bytes estimate (extra window buffering across the 3-D
+            # grid); 64 MiB OOMs at 70B shapes (K=28672, measured round 3).
+            # GEMV decode kernels stay at 64 MiB — their footprint is small
+            # and a larger cap invites the compiler to over-buffer.
+            vmem_limit_bytes=(100 if kernel_kind == "deqw" else 64)
+            * 1024 * 1024,
         ),
         interpret=interpret,
     )(x2, qweight, scales3, zscale3,
@@ -1072,26 +1081,38 @@ def _q4_matmul_pallas(
             x2 = jnp.take(x2, qt.x_map, axis=1)
 
     bn2 = deqw2_bn if (qt.layout == "npair" and n_pad % deqw2_bn == 0) else bn
-    if (
-        kind == "deqw"
-        and k % qt.groupsize == 0
-        and _deqw2_vmem_bytes(k, bn2, bm, qt.groupsize, a8=prefill_a8)
-        <= DEQW2_VMEM_BUDGET
-    ):
-        out = _q4_matmul_deqw2_call(
-            x2,
-            qt.qweight,
-            qt.scales,
-            qt.zscale,
-            groupsize=qt.groupsize,
-            block_n=bn2,
-            out_dtype=jnp.dtype(x.dtype),
-            layout=qt.layout,
-            interpret=interpret,
-            a8=prefill_a8,
+    if kind == "deqw" and k % qt.groupsize == 0:
+        # The [K, bn] dequant scratch + qweight stream dominate the deqw2
+        # VMEM footprint at large K (70B down-proj: K=28672); shrinking the
+        # M tile is the only free knob (bn must stay a multiple of N_ALIGN
+        # for the npair sub-block loop). Take the largest fitting M tile.
+        bm2 = next(
+            (
+                c
+                for c in (bm, 128, 64, 32)
+                if c <= bm
+                and m_pad % c == 0
+                and _deqw2_vmem_bytes(k, bn2, c, qt.groupsize, a8=prefill_a8)
+                <= DEQW2_VMEM_BUDGET
+            ),
+            None,
         )
-        out = out[:m, : qt.out_features]
-        return out.reshape(*lead, qt.out_features)
+        if bm2 is not None:
+            out = _q4_matmul_deqw2_call(
+                x2,
+                qt.qweight,
+                qt.scales,
+                qt.zscale,
+                groupsize=qt.groupsize,
+                block_n=bn2,
+                out_dtype=jnp.dtype(x.dtype),
+                layout=qt.layout,
+                interpret=interpret,
+                a8=prefill_a8,
+                block_m=bm2,
+            )
+            out = out[:m, : qt.out_features]
+            return out.reshape(*lead, qt.out_features)
     bk = (
         bk_pref
         if bk_pref is not None

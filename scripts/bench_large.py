@@ -233,11 +233,16 @@ def measure(name):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    names = args or list(CONFIGS)
+    argv = sys.argv[1:]
     js = None
-    if "--json" in sys.argv:
-        js = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        js = argv[i + 1]
+        del argv[i:i + 2]
+    names = [a for a in argv if not a.startswith("--")] or list(CONFIGS)
+    for n in names:
+        if n not in CONFIGS:
+            sys.exit(f"unknown config {n!r}; choose from {list(CONFIGS)}")
     results = [measure(n) for n in names]
     for r in results:
         print(json.dumps(r))
