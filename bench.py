@@ -121,15 +121,16 @@ def main():
             return kv
         return pre
 
-    def time_prefill(matmul_impl, label):
+    def time_prefill(matmul_impl, label, params=None):
         pre = make_prefill(matmul_impl)
+        params = model.params if params is None else params
         kv = ExLlamaCache(model).state
-        kv = pre(model.params, kv, ids)
+        kv = pre(params, kv, ids)
         sync(kv.k[0][0, 17, 0, :1])
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            kv = pre(model.params, kv, ids)
+            kv = pre(params, kv, ids)
             sync(kv.k[0][0, 17, 0, :1])
             times.append(time.perf_counter() - t0)
         t = min(times)
@@ -149,7 +150,13 @@ def main():
     def run_turbo_prompt():
         if backend != "tpu":
             return None
-        return time_prefill("pallas_a8t", "turbo prompt")[0]
+        # resident-int8 weights (load-time requant): pure int8 MXU prefill
+        from exllama_tpu.models.llama import _attach_prefill_w8
+
+        params_w8 = _attach_prefill_w8(model.params, cfg)
+        ts = time_prefill("pallas_a8t", "turbo prompt", params=params_w8)[0]
+        del params_w8
+        return ts
 
     turbo_prompt_ts = run_turbo_prompt()
 

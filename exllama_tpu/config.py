@@ -103,6 +103,16 @@ class TuningParams:
     # vs the reference's fp16 scales, see docs/PARITY.md) or "f32" for
     # strict-parity validation runs (scales kept at full precision).
     scale_dtype: str = "bf16"
+    # Turbo prefill (matmul_impl="pallas_a8t") weight strategy: "auto"
+    # keeps a load-time int8 re-quantization of every layer weight resident
+    # in HBM when it fits the budget below (prefill then runs pure int8 MXU
+    # dots with no in-kernel dequant — ~2x the bf16 matmul rate on v5e);
+    # "off" always uses the in-kernel requant (deqw8) instead; "on" forces
+    # residency regardless of budget. No effect on exact/decode paths.
+    prefill_w8: str = "auto"
+    # "auto" enables w8 residency only while (packed weights + w8 image)
+    # stay under this many GiB — leave headroom for KV + activations.
+    prefill_w8_budget_gb: float = 12.0
 
 
 class ExLlamaConfig:

@@ -313,6 +313,13 @@ class QuantTensor:
     layout: str = dataclasses.field(
         default="kgroup", metadata=dict(static=True)
     )
+    # Optional load-time int8 re-quantization for turbo prefill: the weights
+    # are static, so re-quantizing them per matmul call (the in-kernel deqw8
+    # design) wastes VPU time every prefill — with HBM to spare, build the
+    # int8 image ONCE and prefill becomes a pure int8 MXU matmul (~2x the
+    # bf16 rate on v5e). See formats.gptq.with_w8 / ops.quant._q4_matmul_w8.
+    w8: Optional[jax.Array] = None        # int8 [K, N_pad]
+    w8_scale: Optional[jax.Array] = None  # f32  [1, N_pad] per-column scale
 
     @property
     def act_order(self) -> bool:
@@ -328,6 +335,35 @@ class QuantTensor:
 def padded_n(n: int) -> int:
     """Padded output width of an N-column tensor in the kgroup layout."""
     return -(-n // N_ALIGN) * N_ALIGN
+
+
+@jax.jit
+def _build_w8(qt: "QuantTensor"):
+    import jax.numpy as jnp
+
+    from exllama_tpu.ops.quant import dequantize_xla
+
+    w = dequantize_xla(qt, dtype=jnp.float32)            # [K, N_pad]
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)    # [1, N_pad]
+    scale = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+    w8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w8, scale
+
+
+def with_w8(qt: QuantTensor) -> QuantTensor:
+    """Attach a load-time int8 re-quantization of the weight (turbo prefill).
+
+    Dequantizes the stored 4-bit weight on device and re-quantizes it to
+    per-column symmetric int8 (scale = colmax/127). Prefill then runs ONE
+    full-K int8 MXU dot per tile with zero in-kernel dequant work — see
+    ops.quant._q4_matmul_w8. Costs K*N_pad bytes of extra HBM (2x the
+    packed 4-bit image); callers gate on available memory
+    (models.llama._attach_prefill_w8).
+    """
+    if qt.w8 is not None:
+        return qt
+    w8, scale = _build_w8(qt)
+    return dataclasses.replace(qt, w8=w8, w8_scale=scale)
 
 
 def concat_quant_tensors(qts: "list[QuantTensor]") -> QuantTensor:

@@ -499,6 +499,45 @@ def forward_chunk(
 # ExLlama — host-side model object
 # ---------------------------------------------------------------------------
 
+_W8_FIELDS = ("q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup")
+
+
+def _attach_prefill_w8(params: ModelParams, config) -> ModelParams:
+    """Attach resident int8 weight images for turbo prefill (see
+    formats.gptq.with_w8). Gated on the configured HBM budget under
+    ``prefill_w8="auto"``: the w8 image costs K*N_pad bytes per tensor
+    (2x the packed 4-bit weights)."""
+    from exllama_tpu.formats.gptq import QuantTensor, with_w8
+
+    qts = []
+    for lp in params.layers:
+        for f in _W8_FIELDS:
+            qt = getattr(lp, f)
+            if isinstance(qt, QuantTensor):
+                qts.append(qt)
+    extra = sum(qt.in_features * qt.padded_out_features for qt in qts)
+    if config.tuning.prefill_w8 == "auto":
+        packed = sum(
+            qt.qweight.nbytes + qt.scales.nbytes + qt.zscale.nbytes
+            for qt in qts
+        )
+        budget = config.tuning.prefill_w8_budget_gb * (1 << 30)
+        if packed + extra > budget:
+            return params
+    layers = tuple(
+        dataclasses.replace(
+            lp,
+            **{
+                f: with_w8(getattr(lp, f))
+                for f in _W8_FIELDS
+                if isinstance(getattr(lp, f), QuantTensor)
+            },
+        )
+        for lp in params.layers
+    )
+    return dataclasses.replace(params, layers=layers)
+
+
 class ExLlama:
     """Host-side model wrapper: owns params + config, exposes ``forward``.
 
@@ -521,6 +560,13 @@ class ExLlama:
 
             params = load_model_params(config, mesh=mesh)
         self.params = params
+        if (
+            self._matmul_impl() == "pallas_a8t"
+            and config.tuning.prefill_w8 != "off"
+            and mesh is None
+            and jax.default_backend() == "tpu"
+        ):
+            self.params = _attach_prefill_w8(self.params, config)
 
     # -- helpers ------------------------------------------------------------
 

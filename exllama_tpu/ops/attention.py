@@ -751,6 +751,228 @@ def _attend_flash_padded(
     )(past_b, *args)
 
 
+def _flash_prefill_kernel(
+    past_ref,    # SMEM [B, 1] int32
+    q_ref,       # [1, 1, rt, D]
+    k_ref,       # [1, 1, L, D] — the WHOLE attend strip for this kv head
+    v_ref,       # [1, 1, L, D]
+    ks_ref,      # [1, 1, 1, L] f32 per-row K scales (int8/int4 cache) or None
+    vs_ref,      # [1, 1, 1, L] f32 per-row V scales or None
+    bias_ref,    # [1, 1, L] f32 additive padding bias or None
+    o_ref,       # [1, 1, rt, D]
+    *,
+    g: int,
+    bq: int,
+    bk: int,
+    t_total: int,
+    scale: float,
+    have_bias: bool,
+):
+    """Prefill-shaped flash attention: one grid step per (batch, kv head,
+    query tile); the KV loop runs INSIDE the kernel with (m, l, acc) carried
+    as loop values instead of VMEM scratch, split into an unmasked pass over
+    fully-visible KV blocks and a masked pass over the causal boundary.
+
+    Vs. the generic ``_flash_kernel`` (grid over KV blocks + scratch): no
+    [rt, 128] m/l broadcast stores per block, no iota/compare/where on the
+    ~half of blocks strictly below the diagonal, and the K/V strips DMA once
+    per head (the block index map ignores the query-tile grid axis, so
+    consecutive qi steps reuse the resident strip). Decode, deferred-commit
+    and tiny-T paths stay on the generic kernel.
+    """
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    rt = q_ref.shape[2]
+    l_strip = k_ref.shape[2]
+    n_blocks = l_strip // bk
+    past = past_ref[b, 0]
+
+    q = q_ref[0, 0]
+    dk = k_ref.shape[3]
+    packed4 = dk != q.shape[-1]
+    int8kv = (not packed4) and k_ref.dtype == jnp.int8
+
+    t_min = qi * bq
+    t_max = qi * bq + (rt - 1) // g
+    # rows' absolute positions (cache index of each query row's own token)
+    t_of_row = past + t_min + (
+        jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0) // g
+    )  # [rt, 1]
+    # blocks fully inside every row's visible prefix [0, past + t_min]
+    n_full = jnp.maximum(
+        jnp.minimum((past + t_min + 1) // bk, n_blocks), 0
+    )
+    # blocks touching any visible position (the causal boundary fan)
+    n_tot = jnp.minimum((past + t_max) // bk + 1, n_blocks)
+
+    m0 = jnp.full((rt, 1), _MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((rt, 1), jnp.float32)
+    acc0 = jnp.zeros((rt, q.shape[-1]), jnp.float32)
+
+    def load_kv(i):
+        off = pl.multiple_of(i * bk, bk)
+        k = k_ref[0, 0, pl.ds(off, bk), :]
+        v = v_ref[0, 0, pl.ds(off, bk), :]
+        if packed4:
+            k = unpack_kv4(k)
+            v = unpack_kv4(v)
+        elif int8kv:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+        return off, k, v
+
+    def block(i, carry, masked):
+        m_prev, l_prev, acc = carry
+        off, k, v = load_kv(i)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rt, bk]
+        if ks_ref is not None:
+            s = s * ks_ref[0, 0, :, pl.ds(off, bk)]
+        s = s * scale
+        if have_bias:
+            s = s + bias_ref[0, 0, pl.ds(off, bk)][None, :]
+        if masked:
+            s_pos = off + jax.lax.broadcasted_iota(
+                jnp.int32, (rt, bk), 1
+            )
+            s = jnp.where(s_pos <= t_of_row, s, _MASK_VALUE)
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[0, 0, :, pl.ds(off, bk)]
+        o_curr = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return m_next, l_next, acc * alpha + o_curr
+
+    carry = jax.lax.fori_loop(
+        0, n_full, lambda i, c: block(i, c, masked=False),
+        (m0, l0, acc0),
+    )
+    m_fin, l_fin, acc = jax.lax.fori_loop(
+        n_full, n_tot, lambda i, c: block(i, c, masked=True), carry
+    )
+    l_fin = jnp.where(l_fin == 0.0, 1.0, l_fin)
+    o_ref[0, 0] = (acc / l_fin).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("attend_len", "t_total", "g", "interpret"),
+)
+def _attend_flash_prefill(
+    qr: jax.Array,        # [B, Hkv, R_total, D]
+    k_cache: jax.Array,   # [B, Hkv, S_max, D]
+    v_cache: jax.Array,
+    past_b: jax.Array,    # [B, 1] int32
+    bias: Optional[jax.Array],     # [B, 1, S_max-sliced] f32 or None
+    k_scale: Optional[jax.Array],  # [B, Hkv, 1, S_max] f32 or None
+    v_scale: Optional[jax.Array],
+    *,
+    attend_len: int,
+    t_total: int,
+    g: int,
+    interpret: bool,
+):
+    b, hkv, r_total, d = qr.shape
+    # KV block size for the in-kernel loop: big enough to amortize loop
+    # overhead, small enough that the causal boundary pass stays tight.
+    bk = attend_len
+    for cand in (512, 384, 256, 128):
+        if attend_len % cand == 0:
+            bk = cand
+            break
+    # query tile: ~512 rows, multiple of g, divides r_total
+    if r_total <= 512:
+        rt = r_total
+    else:
+        rt = min(r_total, max(g, (512 // g) * g))
+        while r_total % rt != 0:
+            rt -= g
+        assert rt >= g
+    bq = rt // g
+    grid = (b, hkv, r_total // rt)
+
+    kernel = functools.partial(
+        _flash_prefill_kernel,
+        g=g,
+        bq=bq,
+        bk=bk,
+        t_total=t_total,
+        scale=1.0 / (d ** 0.5),
+        have_bias=bias is not None,
+    )
+    dk = k_cache.shape[-1]
+    in_specs = [
+        pl.BlockSpec((1, 1, rt, d), lambda b, h, qi, *_: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, attend_len, dk),
+                     lambda b, h, qi, *_: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, attend_len, dk),
+                     lambda b, h, qi, *_: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qr, k_cache, v_cache]
+    have_scales = k_scale is not None
+    if have_scales:
+        for sc in (k_scale, v_scale):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, attend_len),
+                    lambda b, h, qi, *_: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(sc)
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, attend_len),
+                         lambda b, h, qi, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+
+    def kern(past_ref, q_ref, k_ref, v_ref, *rest):
+        rest = list(rest)
+        ks_ref = vs_ref = bias_ref = None
+        if have_scales:
+            ks_ref = rest.pop(0)
+            vs_ref = rest.pop(0)
+        if bias is not None:
+            bias_ref = rest.pop(0)
+        (o_ref,) = rest
+        return kernel(past_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                      bias_ref, o_ref)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, rt, d), lambda b, h, qi, *_: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, r_total, d), qr.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(past_b, *args)
+
+
+# query tiles at/above this row count take the prefill-shaped kernel
+PREFILL_KERNEL_MIN_ROWS = 256
+
+
 def attend_flash(
     q: jax.Array,          # [B, T, H, D]
     k_cache: jax.Array,    # [B, Hkv, S_max, D]
@@ -794,10 +1016,22 @@ def attend_flash(
     if new_kv is not None:
         k_new = jnp.swapaxes(new_kv[0], 1, 2).astype(q.dtype)  # [B,Hkv,1,D]
         v_new = jnp.swapaxes(new_kv[1], 1, 2).astype(q.dtype)
-    out = _attend_flash_padded(
-        qr, k_cache, v_cache, past_b, bias, ks4, vs4, k_new, v_new,
-        attend_len=attend_len, t_total=t, g=g, interpret=interpret,
-    )
+    # the prefill kernel holds the whole K and V strips in VMEM (double
+    # buffered): cap the strip length so long-context chunked prefill
+    # (32k+) stays on the generic blocked kernel
+    strip_ok = attend_len * k_cache.shape[-1] * k_cache.dtype.itemsize \
+        <= 4 * 1024 * 1024
+    if new_kv is None and pad_r == 0 and strip_ok \
+            and t * g >= PREFILL_KERNEL_MIN_ROWS:
+        out = _attend_flash_prefill(
+            qr, k_cache, v_cache, past_b, bias, ks4, vs4,
+            attend_len=attend_len, t_total=t, g=g, interpret=interpret,
+        )
+    else:
+        out = _attend_flash_padded(
+            qr, k_cache, v_cache, past_b, bias, ks4, vs4, k_new, v_new,
+            attend_len=attend_len, t_total=t, g=g, interpret=interpret,
+        )
     out = out[:, :, : t * g, :]
     out = out.reshape(b, hkv, t, g, d).transpose(0, 2, 1, 3, 4)
     return out.reshape(b, t, h, d)

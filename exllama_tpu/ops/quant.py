@@ -528,6 +528,34 @@ def _q4_deqw2_kernel(
     ).astype(out_dtype)
 
 
+def _deqw2_npair_store(qw_ref, s_ref, z_ref, w_scr, groupsize, block_k):
+    """Dequantize an npair [K/4, bn/2] qweight block into the [K, bn] bf16
+    scratch (shared by the plain and overlapped deqw2 kernels)."""
+    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+    s = s_ref[0].astype(jnp.float32)
+    z = z_ref[0].astype(jnp.float32)
+    gs = groupsize
+    half = N_ALIGN // 2
+    for sub in range(b8.shape[1] // half):   # 1024-col output sub-blocks
+        qcols = slice(sub * half, (sub + 1) * half)
+        lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+        hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+        for g in range(block_k // gs):
+            blk = b8[g * gs : (g + 1) * gs, qcols]
+            bval = blk.astype(jnp.float32)
+            hv = (blk & (-16)).astype(jnp.float32)
+            s_lo = s[g : g + 1, lo_c]
+            s_hi = s[g : g + 1, hi_c]
+            z_lo = z[g : g + 1, lo_c]
+            z_hi = z[g : g + 1, hi_c]
+            w_scr[g * gs : (g + 1) * gs, lo_c] = (
+                (bval - hv) * s_lo - z_lo
+            ).astype(jnp.bfloat16)
+            w_scr[g * gs : (g + 1) * gs, hi_c] = (
+                hv * (s_hi * 0.0625) + (s_hi * 8.0 - z_hi)
+            ).astype(jnp.bfloat16)
+
+
 def _q4_deqw2_kernel_npair(
     x_ref,        # [bm, K]
     qw_ref,       # [K/4, bn/2]
@@ -546,32 +574,53 @@ def _q4_deqw2_kernel_npair(
 
     @pl.when(m_idx == 0)
     def _():
-        b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
-        s = s_ref[0].astype(jnp.float32)
-        z = z_ref[0].astype(jnp.float32)
-        gs = groupsize
-        half = N_ALIGN // 2
-        for sub in range(b8.shape[1] // half):   # 1024-col output sub-blocks
-            qcols = slice(sub * half, (sub + 1) * half)
-            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
-            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
-            for g in range(block_k // gs):
-                blk = b8[g * gs : (g + 1) * gs, qcols]
-                bval = blk.astype(jnp.float32)
-                hv = (blk & (-16)).astype(jnp.float32)
-                s_lo = s[g : g + 1, lo_c]
-                s_hi = s[g : g + 1, hi_c]
-                z_lo = z[g : g + 1, lo_c]
-                z_hi = z[g : g + 1, hi_c]
-                w_scr[g * gs : (g + 1) * gs, lo_c] = (
-                    (bval - hv) * s_lo - z_lo
-                ).astype(jnp.bfloat16)
-                w_scr[g * gs : (g + 1) * gs, hi_c] = (
-                    hv * (s_hi * 0.0625) + (s_hi * 8.0 - z_hi)
-                ).astype(jnp.bfloat16)
+        _deqw2_npair_store(qw_ref, s_ref, z_ref, w_scr, groupsize, block_k)
 
     out_ref[:] = jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w_scr[:],
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def _q4_deqw2_kernel_npair_ovl(
+    x_ref,        # [bm, K]
+    qw_ref,       # [K/4, bn/2] — block j, except block j+1 at the LAST m step
+    s_ref,        # [1, K/gs, bn] — shifted in lockstep with qw_ref
+    z_ref,
+    out_ref,      # [bm, bn]
+    w_scr,        # [2, K, bn] bf16 scratch, double-buffered per N block
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """Overlapped deqw2: the serialized per-N-block dequant (VPU) is the
+    whole gap between the measured prefill matmul rate and the bf16 MXU
+    peak, so dequantize N block j+1 DURING the last M-step dot of block j.
+    The qw/s/z index maps hand this kernel block j+1 at (j, last m) — an
+    extra fetch that doubles as prefetch — and the two ops (VPU stores to
+    buffer (j+1)%2, MXU dot from buffer j%2) are independent, so Mosaic
+    schedules them together. Only N block 0 still pays the serialization.
+    Requires >= 2 M steps (the caller falls back to the plain kernel)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    num_n = pl.num_programs(0)
+    num_m = pl.num_programs(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        _deqw2_npair_store(
+            qw_ref, s_ref, z_ref, w_scr.at[0], groupsize, block_k
+        )
+
+    @pl.when((i == num_m - 1) & (j + 1 < num_n))
+    def _():
+        _deqw2_npair_store(
+            qw_ref, s_ref, z_ref, w_scr.at[(j + 1) % 2], groupsize, block_k
+        )
+
+    out_ref[:] = jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w_scr[j % 2],
         preferred_element_type=jnp.float32,
     ).astype(out_dtype)
 
@@ -666,11 +715,13 @@ DEQW2_VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _deqw2_vmem_bytes(
-    k: int, bn: int, bm: int, groupsize: int, a8: bool = False
+    k: int, bn: int, bm: int, groupsize: int, a8: bool = False,
+    ovl: bool = False,
 ) -> int:
     return (
-        # dequantized scratch: bf16, or int8 + col scales for deqw8 (a8)
-        ((k * bn + 8 * bn * 4) if a8 else k * bn * 2)
+        # dequantized scratch: bf16 (x2 when the overlapped kernel
+        # double-buffers it), or int8 + col scales for deqw8 (a8)
+        ((k * bn + 8 * bn * 4) if a8 else k * bn * 2 * (2 if ovl else 1))
         + (k // 8) * bn * 4 * 2      # qweight blocks, double buffered
         + bm * k * 2 * 2             # x blocks
         + (k // groupsize) * bn * 2 * 4
@@ -682,7 +733,7 @@ def _deqw2_vmem_bytes(
     jax.jit,
     static_argnames=(
         "groupsize", "block_n", "out_dtype", "layout", "interpret", "a8",
-        "block_m",
+        "block_m", "overlap",
     ),
 )
 def _q4_matmul_deqw2_call(
@@ -698,18 +749,25 @@ def _q4_matmul_deqw2_call(
     interpret: bool,
     a8: bool = False,
     block_m: "int | None" = None,
+    overlap: bool = False,
 ):
     m, k = x2.shape
     n_pad = scales.shape[1]
     bm = block_m if block_m is not None else _choose_block_m(m)
     assert m % bm == 0, (m, bm)
     gsz = k // groupsize
-    grid = (n_pad // block_n, m // bm)   # M innermost: scratch reused
+    num_n = n_pad // block_n
+    num_m = m // bm
+    grid = (num_n, num_m)   # M innermost: scratch reused
     scales3 = scales.reshape(1, gsz, n_pad)
     zscale3 = zscale.reshape(1, gsz, n_pad)
+    overlap = overlap and not a8 and layout == "npair" \
+        and num_m >= 2 and num_n >= 2
     if a8:
         assert layout == "npair"
         kern_fn = _q4_prefill_kernel_npair_a8
+    elif overlap:
+        kern_fn = _q4_deqw2_kernel_npair_ovl
     else:
         kern_fn = (
             _q4_deqw2_kernel_npair if layout == "npair" else _q4_deqw2_kernel
@@ -717,6 +775,16 @@ def _q4_matmul_deqw2_call(
     kernel = functools.partial(
         kern_fn, groupsize=groupsize, block_k=k, out_dtype=out_dtype,
     )
+    if overlap:
+        # hand the kernel N block j+1 at the LAST m step of block j, so the
+        # next block's dequant overlaps this block's dot (see the kernel)
+        def wblock(j, i):
+            return jnp.where(
+                i == num_m - 1, jnp.minimum(j + 1, num_n - 1), j
+            )
+    else:
+        def wblock(j, i):
+            return j
     flops = 2 * m * k * n_pad
     bytes_accessed = (
         k * n_pad // 2
@@ -724,6 +792,13 @@ def _q4_matmul_deqw2_call(
         + 2 * gsz * n_pad * scales.dtype.itemsize
         + m * n_pad * jnp.dtype(out_dtype).itemsize
     )
+    if a8:
+        scratch = [pltpu.VMEM((k, block_n), jnp.int8),
+                   pltpu.VMEM((8, block_n), jnp.float32)]
+    elif overlap:
+        scratch = [pltpu.VMEM((2, k, block_n), jnp.bfloat16)]
+    else:
+        scratch = [pltpu.VMEM((k, block_n), jnp.bfloat16)]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -734,22 +809,20 @@ def _q4_matmul_deqw2_call(
                 (k // 4, block_n // 2)
                 if layout == "npair"
                 else (k // 8, block_n),
-                lambda j, i: (0, j),
+                lambda j, i: (0, wblock(j, i)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, gsz, block_n), lambda j, i: (0, 0, j),
+            pl.BlockSpec((1, gsz, block_n),
+                         lambda j, i: (0, 0, wblock(j, i)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsz, block_n), lambda j, i: (0, 0, j),
+            pl.BlockSpec((1, gsz, block_n),
+                         lambda j, i: (0, 0, wblock(j, i)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, block_n), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
-        scratch_shapes=(
-            [pltpu.VMEM((k, block_n), jnp.int8),
-             pltpu.VMEM((8, block_n), jnp.float32)]
-            if a8 else [pltpu.VMEM((k, block_n), jnp.bfloat16)]
-        ),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
@@ -1003,6 +1076,88 @@ def _q4_matmul_pallas_call(
 GEMV_MAX_M = 32
 
 
+def _w8_matmul_kernel(
+    xq_ref,      # [bm, K] int8 (row-quantized activations)
+    sx_ref,      # [bm, 1] f32 per-row activation scales
+    w8_ref,      # [K, bn] int8
+    ws_ref,      # [1, bn] f32 per-column weight scales
+    out_ref,     # [bm, bn]
+    *,
+    out_dtype,
+):
+    acc = jax.lax.dot_general(
+        xq_ref[:], w8_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (
+        acc.astype(jnp.float32) * sx_ref[:] * ws_ref[:]
+    ).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret")
+)
+def _q4_matmul_w8(
+    x2: jax.Array,        # [M, K] bf16/f32
+    w8: jax.Array,        # [K, N_pad] int8 (load-time re-quantized weight)
+    w8_scale: jax.Array,  # [1, N_pad] f32
+    out_dtype,
+    interpret: bool = False,
+) -> jax.Array:
+    """Turbo-prefill matmul against the resident int8 weight image.
+
+    Per-row symmetric int8 activation quant (same scheme as the a8 GEMV,
+    error <= rowmax/254 per element) happens once in XLA; the dot runs in a
+    minimal Pallas kernel — one s8xs8->s32 MXU dot per [bm, bn] tile with
+    the (row x column)-scale rescale fused into the epilogue, so the int32
+    accumulator never touches HBM. (A plain XLA dot_general leaves the
+    rescale unfused: at N=12288 the int32 round-trip erased the entire
+    int8-rate win — measured 177 TFLOP/s vs this kernel's target ~2x bf16.)
+    """
+    m, k = x2.shape
+    n_pad = w8.shape[1]
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)   # [M, 1]
+    sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    bm = min(-(-m // 8) * 8, 2048)
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
+    bn = N_ALIGN if n_pad % N_ALIGN == 0 else n_pad
+    grid = (n_pad // bn, m_pad // bm)
+    out = pl.pallas_call(
+        functools.partial(_w8_matmul_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_pad,
+            bytes_accessed=k * n_pad + m_pad * k * (n_pad // bn)
+            + 2 * m_pad * n_pad,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xq, sx, w8, w8_scale)
+    return out[:m]
+
+
 # In-kernel act-order permute applies up to this many 128-lane blocks of K
 # (the masked-gather decomposition is O(nblk²) unrolled ops; beyond this the
 # XLA gather is competitive and compile time is not).
@@ -1025,6 +1180,23 @@ def _q4_matmul_pallas(
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
     kind = "gemv" if m <= GEMV_MAX_M else "deqw"
+    if a8_prefill and kind == "deqw" and qt.w8 is not None:
+        # resident-int8 turbo prefill: the weight was re-quantized ONCE at
+        # load (formats.gptq.with_w8) — no in-kernel dequant at all, just a
+        # full-K s8xs8->s32 MXU dot that XLA tiles itself. Handles act-order
+        # via the same pre-gather as the other prefill paths.
+        if norm_w is not None:
+            from exllama_tpu.ops.norms import rms_norm
+
+            x2 = rms_norm(x2, norm_w, norm_eps)
+        if qt.x_map is not None:
+            x2 = jnp.take(x2, qt.x_map, axis=1)
+        out = _q4_matmul_w8(
+            x2, qt.w8, qt.w8_scale, jnp.dtype(x.dtype),
+            interpret=interpret or not _is_tpu(),
+        )
+        out = out[:m, : qt.out_features]
+        return out.reshape(*lead, qt.out_features)
     prefill_a8 = False
     if a8 and kind == "gemv" and qt.layout == "npair":
         kind = "gemv_a8"   # W4A8 turbo decode path
@@ -1086,17 +1258,39 @@ def _q4_matmul_pallas(
         # VMEM footprint at large K (70B down-proj: K=28672); shrinking the
         # M tile is the only free knob (bn must stay a multiple of N_ALIGN
         # for the npair sub-block loop). Take the largest fitting M tile.
-        bm2 = next(
-            (
-                c
-                for c in (bm, 128, 64, 32)
-                if c <= bm
-                and m_pad % c == 0
-                and _deqw2_vmem_bytes(k, bn2, c, qt.groupsize, a8=prefill_a8)
-                <= DEQW2_VMEM_BUDGET
-            ),
-            None,
+        # Prefer the overlapped kernel (double scratch) when it fits.
+        def fit_bm(ovl):
+            return next(
+                (
+                    c
+                    for c in (bm, 128, 64, 32)
+                    if c <= bm
+                    and m_pad % c == 0
+                    and (not ovl or m_pad // c >= 2)
+                    and _deqw2_vmem_bytes(
+                        k, bn2, c, qt.groupsize, a8=prefill_a8, ovl=ovl
+                    )
+                    <= DEQW2_VMEM_BUDGET
+                ),
+                None,
+            )
+
+        # MEASURED NEGATIVE (round 4): the overlapped kernel's doubled
+        # [2, K, bn] scratch costs more in VMEM/pipelining than the
+        # per-N-block dequant it hides — plain deqw2 already runs at
+        # 154-184 TFLOP/s (min-timed), i.e. the dequant serialization is
+        # noise, and ovl regressed the K=11008 down-proj 154 -> 96 TFLOP/s.
+        # Kept opt-in for re-evaluation on other shapes/hardware.
+        use_ovl = (
+            not prefill_a8
+            and qt.layout == "npair"
+            and n_pad // bn2 >= 2
+            and os.environ.get("EXL_DEQW2_OVL", "0") == "1"
         )
+        bm2 = fit_bm(True) if use_ovl else None
+        if bm2 is None:
+            use_ovl = False
+            bm2 = fit_bm(False)
         if bm2 is not None:
             out = _q4_matmul_deqw2_call(
                 x2,
@@ -1110,6 +1304,7 @@ def _q4_matmul_pallas(
                 interpret=interpret,
                 a8=prefill_a8,
                 block_m=bm2,
+                overlap=use_ovl,
             )
             out = out[:m, : qt.out_features]
             return out.reshape(*lead, qt.out_features)

@@ -32,6 +32,7 @@ reference generator.py:254-260).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -39,6 +40,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from exllama_tpu.ops.sampling import SamplerSettings, _sample_row
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _sample_grid(
+    logits: jax.Array,     # [P, V] f32 (padded to a fixed P)
+    keys: jax.Array,       # [P, 2] u32
+    temperature: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+    min_p: jax.Array,
+    typical: jax.Array,
+) -> jax.Array:
+    """One jit, compiled once per padded P: sample a token per position."""
+    toks, _ = jax.vmap(
+        lambda row, k: _sample_row(
+            row, k, temperature, top_k, top_p, min_p, typical
+        )
+    )(logits, keys)
+    return toks
 
 
 class NgramProposer:
@@ -139,17 +159,27 @@ class SpeculativeGenerator:
     # ----------------------------------------------------------- internals
 
     def _sample_positions(self, logits: np.ndarray) -> np.ndarray:
-        """Sample one token per position from [T, V] target logits."""
+        """Sample one token per position from [T, V] target logits.
+
+        Pads T to a fixed lookahead+1 so `_sample_grid` compiles exactly
+        once per vocab size (T varies per verify step; an eager vmap here
+        used to dispatch thousands of tiny one-shape executables).
+        """
         s = self.settings
         t = logits.shape[0]
+        p = max(self.lookahead + 1, t)
+        lg = np.asarray(logits, np.float32)
+        if t < p:
+            lg = np.concatenate([lg, np.broadcast_to(lg[:1], (p - t,) + lg.shape[1:])])
         self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, t)
-        toks, _ = jax.vmap(
-            lambda row, k: _sample_row(
-                row, k, s.temperature, s.top_k, s.top_p, s.min_p, s.typical
-            )
-        )(jnp.asarray(logits, jnp.float32), keys)
-        return np.asarray(toks, np.int32)
+        keys = jax.random.split(sub, p)
+        toks = _sample_grid(
+            jnp.asarray(lg), keys,
+            jnp.float32(s.temperature), jnp.int32(s.top_k),
+            jnp.float32(s.top_p), jnp.float32(s.min_p),
+            jnp.float32(s.typical),
+        )
+        return np.asarray(toks, np.int32)[:t]
 
     def generate_tokens(self, ids: np.ndarray, max_new_tokens: int,
                         stop_tokens=()) -> np.ndarray:

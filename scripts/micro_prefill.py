@@ -12,7 +12,7 @@ import numpy as np
 from exllama_tpu.formats.gptq import N_ALIGN, QuantTensor
 from exllama_tpu.ops.quant import q4_matmul
 
-R1, R2 = 2, 10
+R1, R2 = 5, 25
 
 
 def make_qt(k, n, gs=128, seed=0):
@@ -34,25 +34,25 @@ def make_qt(k, n, gs=128, seed=0):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("reps",))
-def loop(x, qt, *, reps):
-    out = None
-    acc = x
-    for _ in range(reps):
-        o = q4_matmul(acc, qt, impl="pallas")
-        out = o
-        acc = acc + 0.0 * o[:, :1].astype(acc.dtype)
+@functools.partial(jax.jit, static_argnames=("reps", "impl"))
+def loop(x, qt, *, reps, impl="pallas"):
+    def body(_, acc):
+        o = q4_matmul(acc, qt, impl=impl)
+        return acc + 0.0 * o[:, :1].astype(acc.dtype)
+    out = jax.lax.fori_loop(0, reps, body, x)
     return out[0, :1].astype(jnp.float32)
 
 
-def timed(fn, iters=6):
+def timed(fn, iters=5):
     fn()
-    fn()
-    t0 = time.perf_counter()
+    np.asarray(fn())
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = fn()
-    np.asarray(out)
-    return (time.perf_counter() - t0) / iters
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -68,14 +68,20 @@ def main():
             jnp.bfloat16,
         )
         qt = make_qt(k, n)
-        t1 = timed(lambda: loop(x, qt, reps=R1))
-        t2 = timed(lambda: loop(x, qt, reps=R2))
-        dt = (t2 - t1) / (R2 - R1)
         fl = 2 * m * k * qt.padded_out_features
-        print(
-            f"{tag:8s} [{m}x{k}]x[{k}x{n}]: {dt*1e3:7.2f} ms, "
-            f"{fl/dt/1e12:6.1f} TFLOP/s", flush=True,
-        )
+        import os
+        variants = [("exact", qt, "pallas")]
+        if os.environ.get("EXL_MICRO_W8"):
+            from exllama_tpu.formats.gptq import with_w8
+            variants.append(("w8", with_w8(qt), "pallas_a8t"))
+        for vtag, vqt, impl in variants:
+            t1 = timed(lambda: loop(x, vqt, reps=R1, impl=impl))
+            t2 = timed(lambda: loop(x, vqt, reps=R2, impl=impl))
+            dt = (t2 - t1) / (R2 - R1)
+            print(
+                f"{tag:8s} {vtag:5s} [{m}x{k}]x[{k}x{n}]: {dt*1e3:7.2f} ms, "
+                f"{fl/dt/1e12:6.1f} TFLOP/s", flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -172,6 +172,59 @@ def main():
         cache.state = kvn
         np.asarray(kvn.k[0][0, 0, 0, :1])
 
+    def _prefill(m_, c_, t=256, past=0, batch=1, mask=False, **over):
+        import jax.numpy as jnp
+
+        from exllama_tpu.models.llama import forward_chunk
+
+        cfg_ = m_.config
+        toks = jnp.ones((batch, t), jnp.int32)
+        im = None
+        if mask:
+            im_np = np.ones((batch, cfg_.max_seq_len), bool)
+            im_np[:, :2] = False
+            im = jnp.asarray(im_np)
+        kw = dict(
+            attend_len=past + t, last_token_only=True, preprocess_only=True,
+            heads=cfg_.num_attention_heads,
+            kv_heads=cfg_.num_key_value_heads, head_dim=cfg_.head_dim,
+            eps=cfg_.rms_norm_eps, matmul_impl="pallas")
+        kw.update(over)
+        _, kvn = forward_chunk(
+            m_.params, c_.state, toks, jnp.int32(past), None, im, **kw)
+        c_.state = kvn
+        np.asarray(kvn.k[0][0, 0, 0, :1])
+
+    # the prefill-shaped flash kernel (in-kernel KV loop) engages at
+    # T*g >= 256: cover its shape combos (KV dtypes, GQA+D64, a past>0
+    # continuation chunk, and the left-pad bias path)
+    @check("prefill_T256_int8kv")
+    def c7b():
+        _prefill(model_i8, cache_i8)
+
+    @check("prefill_T256_int4kv")
+    def c7c():
+        _prefill(model_i4, cache_i4)
+
+    @check("prefill_chunk_past")
+    def c7d():
+        _prefill(model, cache, t=256, past=256)
+
+    @check("prefill_d64_gqa")
+    def c7e():
+        m, c = _model(layers=1, shape="d64")
+        _prefill(m, c)
+
+    @check("prefill_batch_mask")
+    def c7f():
+        import jax.numpy as jnp
+
+        from exllama_tpu.cache import ExLlamaCache
+
+        cache2 = ExLlamaCache(model, batch_size=2)
+        _prefill(model, cache2, batch=2, mask=True)
+        del cache2
+
     @check("prefill_turbo_a8t", default_on=False)
     def c8():
         import jax.numpy as jnp
@@ -188,6 +241,18 @@ def main():
             eps=cfg.rms_norm_eps, matmul_impl="pallas_a8t")
         cache.state = kvn
         np.asarray(kvn.k[0][0, 0, 0, :1])
+
+    @check("prefill_turbo_w8", default_on=False)
+    def c8b():
+        # resident-int8 weights: the _w8_matmul_kernel pallas path
+        from exllama_tpu.models.llama import _attach_prefill_w8
+
+        p0 = model.params
+        model.params = _attach_prefill_w8(p0, model.config)
+        try:
+            _prefill(model, cache, matmul_impl="pallas_a8t")
+        finally:
+            model.params = p0
 
     @check("decode_batch8_slots")        # per-slot cursors (engine path)
     def c9():
@@ -239,7 +304,8 @@ def main():
                      kv_heads=m.config.num_key_value_heads,
                      head_dim=m.config.head_dim)
 
-    for c in (c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13):
+    for c in (c1, c2, c3, c4, c5, c6, c7, c7b, c7c, c7d, c7e, c7f,
+              c8, c8b, c9, c10, c11, c12, c13):
         c()
 
     bad_default = [k for k, v in RESULTS.items()

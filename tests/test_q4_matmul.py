@@ -195,3 +195,37 @@ def test_turbo_prefill_a8_close_to_exact(gs):
         q4_matmul(xj, qt, impl="pallas_interpret"), np.float32
     )
     np.testing.assert_allclose(exact, pall, rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("act_order", [False, True])
+def test_w8_resident_prefill_close_to_exact(act_order):
+    """Resident-int8 turbo prefill (formats.gptq.with_w8 + the _q4_matmul_w8
+    XLA path): same noise contract as the in-kernel deqw8 design, plus it
+    must engage automatically when the QuantTensor carries a w8 image."""
+    rng = np.random.default_rng(11)
+    k, n, m = 256, 1024, 96
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+    t = gptq.quantize_matrix(w, 32, act_order, rng)
+    qt = gptq.load_quant_tensor(
+        t["qweight"], t["qzeros"], t["scales"], t.get("g_idx")
+    )
+    qt8 = gptq.with_w8(qt)
+    assert qt8.w8.shape == (k, qt.padded_out_features)
+    # w8 round-trips the dequantized weight within colmax/254 per element
+    wd = np.asarray(dequantize_xla(qt, jnp.float32))
+    w_rt = np.asarray(qt8.w8, np.float32) * np.asarray(qt8.w8_scale)
+    colmax = np.abs(wd).max(axis=0) + 1e-9
+    assert (np.abs(w_rt - wd).max(axis=0) / colmax).max() < (0.51 / 127)
+
+    x = rng.normal(size=(m, k)).astype(np.float32) * 0.5
+    xj = jnp.asarray(x, jnp.bfloat16)
+    ref = np.asarray(q4_matmul(xj, qt, impl="xla"), np.float32)
+    got = np.asarray(q4_matmul(xj, qt8, impl="pallas_a8t"), np.float32)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 0.03
+    # without the w8 image the same impl string must still work (kernel path)
+    if not act_order:
+        got2 = np.asarray(
+            q4_matmul(xj, qt, impl="pallas_a8t_interpret"), np.float32
+        )
+        assert np.abs(got2 - ref).max() / scale < 0.03
