@@ -150,13 +150,23 @@ def main():
     def run_turbo_prompt():
         if backend != "tpu":
             return None
-        # resident-int8 weights (load-time requant): pure int8 MXU prefill
+        # resident-int8 weights (load-time requant): pure int8 MXU prefill.
+        # The w8 image is ~6.7 GB at 7B: free it even on failure, and break
+        # the exception->frame->params_w8 reference cycle so HBM is back
+        # for the decode sections (a leaked w8 once OOMed a 4-byte alloc).
         from exllama_tpu.models.llama import _attach_prefill_w8
 
-        params_w8 = _attach_prefill_w8(model.params, cfg)
-        ts = time_prefill("pallas_a8t", "turbo prompt", params=params_w8)[0]
-        del params_w8
-        return ts
+        params_w8 = None
+        try:
+            params_w8 = _attach_prefill_w8(model.params, cfg)
+            return time_prefill(
+                "pallas_a8t", "turbo prompt", params=params_w8
+            )[0]
+        finally:
+            del params_w8
+            import gc
+
+            gc.collect()
 
     turbo_prompt_ts = run_turbo_prompt()
 

@@ -106,6 +106,9 @@ def run_perf(model, cache, args):
     # warmup at the TIMED shape (2x, like the reference's warmup passes) —
     # a shorter warmup compiles a different chunk length and the timed
     # pass would then include the real compile.
+    print(f" -- compiling + warming prefill (T={ids.shape[1]}; first "
+          "compile can take minutes through the remote-compile tunnel)",
+          flush=True)
     for _ in range(2):
         cache.current_seq_len = 0
         model.forward(ids, cache, preprocess_only=True)
@@ -132,6 +135,7 @@ def run_perf(model, cache, args):
         return best
 
     for label, begin_len in (("best", 1), ("worst", ids.shape[1])):
+        print(f" -- compiling + warming {label}-case decode", flush=True)
         gen.gen_begin(ids[:, :begin_len])
         for n in (32, 128):  # compile both loop lengths
             gen.gen_tokens(n)

@@ -13,6 +13,7 @@ realistic GPTQ checkpoints of any size instead.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax
@@ -105,7 +106,14 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
     down_folds = []
     detected_gs = None
     detected_act = False
+    t_load0 = time.time()
     for i in range(config.num_hidden_layers):
+        if i % 8 == 0:
+            print(
+                f" -- loading layer {i}/{config.num_hidden_layers}"
+                f" ({time.time() - t_load0:.0f}s)",
+                flush=True,
+            )
         p = f"model.layers.{i}"
         lp = LayerParams(
             input_norm=jnp.asarray(
@@ -137,7 +145,16 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
     config.groupsize = detected_gs
     config.act_order = detected_act
 
-    stacked = tuple(layers)  # per-layer arrays (see models/llama.py)
+    # Move every remaining host array to the device NOW: load_quant_tensor
+    # returns numpy, and only tensors that later pass through a jnp op
+    # (fused qkv/gateup) became device arrays — the rest (o, down, unfused
+    # layers) stayed numpy. On CPU that is invisible; on TPU a numpy leaf
+    # makes every jit call re-upload it (~25 s/call for a 7B through the
+    # tunnel — found by the round-4 disk rehearsal).
+    def _dev(x):
+        return jnp.asarray(x) if isinstance(x, np.ndarray) else x
+
+    stacked = jax.tree.map(_dev, tuple(layers))
 
     sin, cos = rope_tables(
         config.max_seq_len,

@@ -61,7 +61,11 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("--turbo_prefill", action="store_true",
                         help="with --turbo: W4A8 prefill too (int8 MXU "
                              "dots, ~2x prefill rate; noisier — prefill "
-                             "quant error compounds through the KV cache)")
+                             "quant error compounds through the KV cache). "
+                             "Keeps a resident int8 weight image in HBM "
+                             "when it fits tuning.prefill_w8_budget_gb "
+                             "(beats the reference's 4090 prompt rate at "
+                             "7B); falls back to in-kernel requant")
     parser.add_argument("--no_fuse", action="store_true",
                         help="disable load-time qkv/gateup projection "
                              "fusion (required before TP sharding)")

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -314,6 +315,21 @@ def _decoder_layer(
                    impl=matmul_impl)
         return h, kc, vc, ksc, vsc, k_row, v_row
     a = rms_norm(h, lp.post_norm, eps)
+    mlp_lora = any(
+        lora_ab(n) is not None for n in ("gate", "up", "down")
+    )
+    if lp.gateup is not None and not mlp_lora \
+            and os.environ.get("EXL_GLU_FUSE", "0") == "1":
+        # MEASURED NEGATIVE at 7B prefill (round 4): the down kernel's
+        # [bm, 2*inter] input re-streams per N block, which costs more HBM
+        # than the silu·mul materialization it avoids (exact prompt 9,244
+        # -> 8,386). Kept opt-in for wider-N/narrower-inter shapes.
+        ni = lp.down.in_features
+        fused = q4_matmul(a, lp.gateup, impl=matmul_impl)
+        h = h + q4_matmul(
+            fused, lp.down, impl=matmul_impl, glu=(ni, padded_n(ni)),
+        )
+        return h, kc, vc, ksc, vsc, k_row, v_row
     if lp.gateup is not None:
         ni = lp.down.in_features
         fused = q4_matmul(a, lp.gateup, impl=matmul_impl)

@@ -615,6 +615,30 @@ def _flash_kernel(
         o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
+def _q_tile_rows(r_total: int, g: int, full_max: int) -> tuple[int, int]:
+    """Pick the query-tile row count rt and any row padding needed.
+
+    rt must divide the (padded) row total, be a multiple of g (the
+    row→(t, g-slot) mapping must stay tile-local) AND of 8 (Mosaic sublane
+    legality — an odd prompt length like benchmark.py's 1919 would
+    otherwise force an illegal 101-row block), unless it equals the whole
+    row dim (full-dimension legality). Returns (rt, pad_rows); padded rows
+    carry zero queries and are sliced off by the caller.
+    """
+    import math
+
+    if r_total <= full_max:
+        return r_total, 0
+    unit = math.lcm(8, g)
+    tgt = max(unit, (512 // unit) * unit)
+    cand = tgt
+    while cand >= unit and r_total % cand:
+        cand -= unit
+    if cand >= unit and r_total % cand == 0:
+        return cand, 0
+    return tgt, -r_total % tgt
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("attend_len", "t_total", "g", "interpret"),
@@ -649,18 +673,12 @@ def _attend_flash_padded(
             bk = cand
             break
     assert attend_len % bk == 0
-    # q rows per tile: all rows at decode; ~512-row tiles at prefill. Tile
-    # size must divide r_total and (when tiled) be a multiple of g so the
-    # row→(t, g-slot) mapping stays tile-local. Start from a multiple of g —
-    # decrementing from a non-multiple (e.g. 512 with g=7, Yi-34B's 56q/8kv)
-    # can never reach rt % g == 0 and used to loop forever at trace time.
-    if r_total <= 256:
-        rt = r_total
-    else:
-        rt = min(r_total, max(g, (512 // g) * g))
-        while r_total % rt != 0:
-            rt -= g
-        assert rt >= g
+    # q rows per tile: all rows at decode; ~512-row tile-legal tiles at
+    # prefill (see _q_tile_rows; padded rows are fully masked via t_total)
+    rt, pad_rows = _q_tile_rows(r_total, g, full_max=256)
+    if pad_rows:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+        r_total += pad_rows
     bq = rt // g
     grid = (b, hkv, r_total // rt, attend_len // bk)
 
@@ -887,14 +905,13 @@ def _attend_flash_prefill(
         if attend_len % cand == 0:
             bk = cand
             break
-    # query tile: ~512 rows, multiple of g, divides r_total
-    if r_total <= 512:
-        rt = r_total
-    else:
-        rt = min(r_total, max(g, (512 // g) * g))
-        while r_total % rt != 0:
-            rt -= g
-        assert rt >= g
+    # query tile: ~512 rows, tile-legal (see _q_tile_rows). Padded rows
+    # carry zero queries — their outputs are finite garbage the caller
+    # slices off (no t_total mask needed in the unmasked pass).
+    rt, pad_rows = _q_tile_rows(r_total, g, full_max=512)
+    if pad_rows:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+        r_total += pad_rows
     bq = rt // g
     grid = (b, hkv, r_total // rt)
 

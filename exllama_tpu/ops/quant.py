@@ -582,6 +582,40 @@ def _q4_deqw2_kernel_npair(
     ).astype(out_dtype)
 
 
+def _q4_deqw2_kernel_npair_glu(
+    x_ref,        # [bm, W] — the RAW fused gate||up matmul output
+    qw_ref,       # [K/4, bn/2]
+    s_ref,        # [1, K/gs, bn]
+    z_ref,
+    out_ref,      # [bm, bn]
+    w_scr,        # [K, bn] bf16 scratch
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+    glu_ni: int,  # true intermediate width (gate cols [0, ni))
+    glu_ou: int,  # up offset (up cols [ou, ou+ni)) in the fused output
+):
+    """deqw2 with the SwiGLU prologue fused in: the down-proj consumes
+    silu(gate)·up computed from the raw fused gate/up tile inside the
+    kernel, so the [M, inter] activation never materializes in HBM
+    (~128 MB/layer of glue traffic at 7B prefill). The silu·mul recomputes
+    per N block — a few VPU passes, ~20x cheaper than the HBM round-trip.
+    """
+    m_idx = pl.program_id(1)
+
+    @pl.when(m_idx == 0)
+    def _():
+        _deqw2_npair_store(qw_ref, s_ref, z_ref, w_scr, groupsize, block_k)
+
+    g = x_ref[:, :glu_ni].astype(jnp.float32)
+    u = x_ref[:, glu_ou : glu_ou + glu_ni]
+    a = (g * jax.lax.logistic(g)).astype(jnp.bfloat16) * u
+    out_ref[:] = jnp.dot(
+        a, w_scr[:], preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
 def _q4_deqw2_kernel_npair_ovl(
     x_ref,        # [bm, K]
     qw_ref,       # [K/4, bn/2] — block j, except block j+1 at the LAST m step
@@ -733,7 +767,7 @@ def _deqw2_vmem_bytes(
     jax.jit,
     static_argnames=(
         "groupsize", "block_n", "out_dtype", "layout", "interpret", "a8",
-        "block_m", "overlap",
+        "block_m", "overlap", "glu",
     ),
 )
 def _q4_matmul_deqw2_call(
@@ -750,8 +784,14 @@ def _q4_matmul_deqw2_call(
     a8: bool = False,
     block_m: "int | None" = None,
     overlap: bool = False,
+    glu: "tuple[int, int] | None" = None,   # (ni, ou): x2 is raw gate||up
 ):
-    m, k = x2.shape
+    m, w_in = x2.shape
+    k = (
+        qweight.shape[0] * (4 if layout == "npair" else 8)
+        if glu is not None
+        else w_in
+    )
     n_pad = scales.shape[1]
     bm = block_m if block_m is not None else _choose_block_m(m)
     assert m % bm == 0, (m, bm)
@@ -763,7 +803,13 @@ def _q4_matmul_deqw2_call(
     zscale3 = zscale.reshape(1, gsz, n_pad)
     overlap = overlap and not a8 and layout == "npair" \
         and num_m >= 2 and num_n >= 2
-    if a8:
+    if glu is not None:
+        assert layout == "npair" and not a8 and not overlap
+        assert glu[1] + glu[0] <= w_in and glu[0] == k, (glu, w_in, k)
+        kern_fn = functools.partial(
+            _q4_deqw2_kernel_npair_glu, glu_ni=glu[0], glu_ou=glu[1],
+        )
+    elif a8:
         assert layout == "npair"
         kern_fn = _q4_prefill_kernel_npair_a8
     elif overlap:
@@ -803,7 +849,7 @@ def _q4_matmul_deqw2_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, w_in), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (k // 4, block_n // 2)
@@ -1164,11 +1210,68 @@ def _q4_matmul_w8(
 KERNEL_PERMUTE_MAX_BLOCKS = 112
 
 
+def _glu_silu_mul(x: jax.Array, ni: int, ou: int) -> jax.Array:
+    """XLA fallback for the fused-GLU prologue: silu(gate)·up from the raw
+    fused gate||up matmul output (gate cols [0, ni), up cols [ou, ou+ni))."""
+    g = x[..., :ni].astype(jnp.float32)
+    u = x[..., ou : ou + ni]
+    return (jax.nn.silu(g)).astype(u.dtype) * u
+
+
 def _q4_matmul_pallas(
     x: jax.Array, qt: QuantTensor, interpret: bool, a8: bool = False,
     a8_prefill: bool = False, a8_two_pass: bool = False,
     norm_w: "jax.Array | None" = None, norm_eps: float = 1e-6,
+    glu: "tuple[int, int] | None" = None,
 ) -> jax.Array:
+    if glu is not None:
+        ni, ou = glu
+        *lead_g, w_in = x.shape
+        m_g = 1
+        for d in lead_g:
+            m_g *= d
+        fusable = (
+            m_g > GEMV_MAX_M
+            and qt.layout == "npair"
+            and qt.x_map is None
+            and norm_w is None
+            and not a8_prefill
+            and qt.in_features == ni
+            and ni % qt.groupsize == 0
+            and ni % 128 == 0
+            and ou % 128 == 0
+            and ou + ni <= w_in
+            and qt.padded_out_features % N_ALIGN == 0
+        )
+        if fusable:
+            bm_g = _choose_block_m(m_g)
+            m_pad_g = -(-m_g // bm_g) * bm_g
+            bm2 = next(
+                (
+                    c
+                    for c in (bm_g, 128, 64, 32)
+                    if c <= bm_g
+                    and m_pad_g % c == 0
+                    and _deqw2_vmem_bytes(ni, N_ALIGN, c, qt.groupsize)
+                    + c * (w_in - ni) * 2 * 2 <= DEQW2_VMEM_BUDGET
+                ),
+                None,
+            )
+            if bm2 is not None:
+                x2g = x.reshape(m_g, w_in)
+                if m_pad_g != m_g:
+                    x2g = jnp.pad(x2g, ((0, m_pad_g - m_g), (0, 0)))
+                out = _q4_matmul_deqw2_call(
+                    x2g, qt.qweight, qt.scales, qt.zscale,
+                    groupsize=qt.groupsize, block_n=N_ALIGN,
+                    out_dtype=jnp.dtype(x.dtype), layout="npair",
+                    interpret=interpret, block_m=bm2, glu=(ni, ou),
+                )
+                out = out[:m_g, : qt.out_features]
+                return out.reshape(*lead_g, qt.out_features)
+        # fallback: materialize silu(gate)·up and run the normal path
+        x = _glu_silu_mul(x, ni, ou)
+
     *lead, k = x.shape
     m = 1
     for d in lead:
@@ -1346,6 +1449,7 @@ def q4_matmul(
     lora: "tuple[jax.Array, jax.Array] | None" = None,
     norm_w: "jax.Array | None" = None,
     norm_eps: float = 1e-6,
+    glu: "tuple[int, int] | None" = None,
 ) -> jax.Array:
     """``x @ dequant(qt)`` with optional fused LoRA and fused input norm.
 
@@ -1361,7 +1465,11 @@ def q4_matmul(
     (one fewer dispatch per projection); elsewhere it is applied up front.
     Mutually exclusive with ``lora`` (adapters consume the normed x).
     """
-    assert x.shape[-1] == qt.in_features, (x.shape, qt.in_features)
+    if glu is None:
+        assert x.shape[-1] == qt.in_features, (x.shape, qt.in_features)
+    else:
+        assert lora is None and norm_w is None, "glu composes with neither"
+        assert glu[1] + glu[0] <= x.shape[-1], (glu, x.shape)
     if impl == "auto":
         impl = "pallas" if _is_tpu() else "xla"
     if norm_w is not None:
@@ -1375,6 +1483,8 @@ def q4_matmul(
     # pallas paths resolve the act-order permutation themselves (in-kernel
     # when the shape allows, pre-gather otherwise)
     if impl == "xla":
+        if glu is not None:
+            x = _glu_silu_mul(x, *glu)
         x_q = (
             jnp.take(x, qt.x_map, axis=-1) if qt.x_map is not None else x
         )
@@ -1391,7 +1501,7 @@ def q4_matmul(
             # 't' suffix = turbo prefill too (int8 MXU dots at prefill M)
             a8_prefill=base.endswith("t"),
             a8_two_pass=base.startswith("pallas_a8x2"),
-            norm_w=norm_w, norm_eps=norm_eps,
+            norm_w=norm_w, norm_eps=norm_eps, glu=glu,
         )
     else:
         raise ValueError(f"unknown q4_matmul impl: {impl}")

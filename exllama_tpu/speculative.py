@@ -71,18 +71,25 @@ class NgramProposer:
         self.max_draft = max_draft
 
     def propose(self, seq: np.ndarray, k: int) -> np.ndarray:
-        """seq: [T] committed tokens → up to min(k, max_draft) draft tokens."""
+        """seq: [T] committed tokens → up to min(k, max_draft) draft tokens.
+
+        Vectorized n-gram lookup: a python scan over all window starts was
+        O(T·n) per call and dominated engine spec-mode steps (~20 ms/slot
+        at T≈1000); the sliding-window comparison is one numpy pass.
+        """
         k = min(k, self.max_draft)
+        seq = np.asarray(seq)
         t = len(seq)
         for n in range(min(self.max_ngram, t - 1), self.min_ngram - 1, -1):
             tail = seq[t - n :]
             # most recent earlier occurrence of the trailing n-gram
-            for start in range(t - n - 1, -1, -1):
-                if np.array_equal(seq[start : start + n], tail):
-                    follow = seq[start + n : start + n + k]
-                    if len(follow):
-                        return np.asarray(follow, np.int32)
-                    break
+            wins = np.lib.stride_tricks.sliding_window_view(seq[:-1], n)
+            hits = np.nonzero((wins == tail).all(axis=1))[0]
+            for start in hits[::-1]:
+                follow = seq[start + n : start + n + k]
+                if len(follow):
+                    return np.asarray(follow, np.int32)
+                break
         return np.zeros((0,), np.int32)
 
     # lifecycle hooks (no state)

@@ -67,10 +67,42 @@ def run_config(slots, ctx, spec=False, steps=48):
         toks += len(eng.step())
     dt = time.perf_counter() - t0
     agg = toks / dt
+    # every eng.step() is a host-driven dispatch (continuous batching needs
+    # per-step host logic); through the axon tunnel each pays the measured
+    # RPC latency, which would be microseconds on a local TPU host. Report
+    # both (same methodology as bench.py).
+    lat = _rpc_latency()
+    adj = toks / max(dt - steps * lat, 1e-9)
     tag = "spec " if spec else ""
-    log(f"slots={slots:>2} ctx={ctx:>5} {tag}aggregate: {agg:7.1f} tok/s "
-        f"({dt / steps * 1e3:.1f} ms/step, {toks} toks/{steps} steps)")
-    return agg
+    log(f"slots={slots:>2} ctx={ctx:>5} {tag}aggregate: {adj:7.1f} tok/s "
+        f"(raw {agg:.1f}; {dt / steps * 1e3:.1f} ms/step raw, "
+        f"rpc {lat * 1e3:.1f} ms, {toks} toks/{steps} steps)")
+    return adj
+
+
+_LAT = None
+
+
+def _rpc_latency():
+    global _LAT
+    if _LAT is not None:
+        return _LAT
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def ident(x):
+        return x + 1
+
+    z = jnp.zeros((8, 128), jnp.bfloat16)
+    np.asarray(ident(z))
+    best = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        np.asarray(ident(z))
+        best = min(best, time.perf_counter() - t0)
+    _LAT = best
+    return _LAT
 
 
 def main():

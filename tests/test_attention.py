@@ -263,3 +263,26 @@ print("PAD_HEAD_DIM_OK")
     )
     assert r.returncode == 0, (r.stdout[-800:], r.stderr[-800:])
     assert "PAD_HEAD_DIM_OK" in r.stdout
+
+
+@pytest.mark.parametrize(
+    "b,t,h,hkv,past,attend_len,d",
+    [
+        (1, 703, 4, 4, 0, 703, 128),   # odd T > 512: row padding engages
+        (1, 543, 4, 1, 64, 607, 128),  # odd T + GQA g=4 + chunk offset
+        (2, 439, 4, 4, 0, 439, 64),    # odd T <= 512 (full-dim tile), D=64
+    ],
+)
+def test_flash_odd_prompt_lengths(b, t, h, hkv, past, attend_len, d):
+    """Odd prompt lengths (e.g. benchmark.py's 1919-token prefill) must not
+    produce sublane-illegal query tiles: _q_tile_rows pads the row total to
+    a tile-legal multiple and the padded rows are sliced off/fully masked."""
+    s_max = 1024
+    q, kc, vc = make_case(b, t, h, hkv, d, s_max, past)
+    pl_ = jnp.int32(past)
+    ref = np.asarray(attend_xla(q, kc, vc, pl_, attend_len), np.float32)
+    got = np.asarray(
+        attend_flash(q, kc, vc, pl_, attend_len, interpret=True), np.float32
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)

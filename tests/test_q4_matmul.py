@@ -229,3 +229,41 @@ def test_w8_resident_prefill_close_to_exact(act_order):
             q4_matmul(xj, qt, impl="pallas_a8t_interpret"), np.float32
         )
         assert np.abs(got2 - ref).max() / scale < 0.03
+
+
+@pytest.mark.parametrize("m", [8, 96])
+def test_glu_fused_down_matches_explicit(m):
+    """q4_matmul(glu=(ni, ou)): the down-proj consumes silu(gate)·up from
+    the RAW fused gate||up output — in-kernel at prefill sizes (deqw2-glu),
+    XLA fallback elsewhere. Must match the explicit two-step computation."""
+    rng = np.random.default_rng(13)
+    k, ni = 256, 512
+    wg = rng.normal(size=(k, ni)).astype(np.float32) * 0.1
+    wu = rng.normal(size=(k, ni)).astype(np.float32) * 0.1
+    wd = rng.normal(size=(ni, k)).astype(np.float32) * 0.1
+    qts = []
+    for w in (wg, wu):
+        t = gptq.quantize_matrix(w, 128, False, rng)
+        qts.append(gptq.load_quant_tensor(t["qweight"], t["qzeros"],
+                                          t["scales"]))
+    gateup = gptq.concat_quant_tensors(qts)
+    td = gptq.quantize_matrix(wd, 128, False, rng)
+    down = gptq.load_quant_tensor(td["qweight"], td["qzeros"], td["scales"])
+
+    x = jnp.asarray(rng.normal(size=(m, k)) * 0.3, jnp.bfloat16)
+    fused = q4_matmul(x, gateup, impl="pallas_interpret")
+    ou = gptq.padded_n(ni)
+    import jax
+
+    g = fused[..., :ni].astype(jnp.float32)
+    u = fused[..., ou : ou + ni]
+    a = jax.nn.silu(g).astype(u.dtype) * u
+    ref = np.asarray(q4_matmul(a, down, impl="pallas_interpret"), np.float32)
+    got = np.asarray(
+        q4_matmul(fused, down, impl="pallas_interpret", glu=(ni, ou)),
+        np.float32,
+    )
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 5e-3, (
+        np.abs(got - ref).max() / scale
+    )
