@@ -228,3 +228,45 @@ def sample(
 def greedy(logits: jax.Array) -> jax.Array:
     """Argmax per row (the temperature→0 limit / top_k=1)."""
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def filter_sample_rows(
+    lg: jax.Array,         # [B, V] f32 (penalties/bias already applied)
+    keys: jax.Array,       # [B, 2] u32
+    temperature: jax.Array,  # [B] sampler vectors
+    top_k: jax.Array,
+    top_p: jax.Array,
+    min_p: jax.Array,
+    typical: jax.Array,
+    candidate_cap: int = 0,
+) -> jax.Array:
+    """Batched filter+sample with an optional static candidate cap.
+
+    The exact pipeline (cap=0, the default) runs the reference-parity
+    filter over the full vocabulary — one 32k-wide sort per row, the
+    dominant device cost of a batched-engine sampling step. With
+    ``candidate_cap=C``, `lax.top_k` pre-selects the C highest logits and
+    the identical pipeline runs C-wide; top_p/typical masses are then
+    relative to the top-C renormalization (a deviation from the
+    reference's full-distribution semantics — opt-in only, see
+    ContinuousBatchingEngine(sampler_candidate_cap=...)). top_k/min_p are
+    unaffected whenever top_k <= C.
+    """
+    v = lg.shape[-1]
+    if candidate_cap and candidate_cap < v:
+        vals, idx = jax.lax.top_k(lg, candidate_cap)    # [B, C]
+        sp = jax.vmap(_filter_row)(
+            vals, temperature, top_k, top_p, min_p, typical
+        )
+        choice = jax.vmap(
+            lambda p, k: jax.random.categorical(k, jnp.log(p + 1e-30))
+        )(sp, keys)
+        return jnp.take_along_axis(
+            idx, choice[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+    sp = jax.vmap(_filter_row)(
+        lg, temperature, top_k, top_p, min_p, typical
+    )
+    return jax.vmap(
+        lambda p, k: jax.random.categorical(k, jnp.log(p + 1e-30))
+    )(sp, keys).astype(jnp.int32)

@@ -48,7 +48,12 @@ import numpy as np
 
 from exllama_tpu.cache import ExLlamaCache, KVCacheState
 from exllama_tpu.models.llama import forward_chunk
-from exllama_tpu.ops.sampling import SamplerSettings, _filter_row, rep_penalty_mask
+from exllama_tpu.ops.sampling import (
+    SamplerSettings,
+    _filter_row,
+    filter_sample_rows,
+    rep_penalty_mask,
+)
 
 QUEUED, PREFILL, RUNNING, DONE = "queued", "prefill", "running", "done"
 _req_counter = itertools.count()
@@ -128,7 +133,7 @@ def _split_held(combined: str, stops: tuple) -> tuple[str, str, int]:
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
-                     "mlp_fuse", "attn_fuse", "qkv_fuse"),
+                     "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap"),
     donate_argnames=("kv",),
 )
 def _engine_step(
@@ -161,6 +166,7 @@ def _engine_step(
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
     qkv_fuse: bool = False,
+    candidate_cap: int = 0,
 ):
     logits, kv = forward_chunk(
         params, kv, tokens, pos, None, lora,
@@ -184,10 +190,10 @@ def _engine_step(
 
     b = lg.shape[0]
     keys = jax.random.split(key, b)
-    sp = jax.vmap(_filter_row)(lg, temperature, top_k, top_p, min_p, typical)
-    new_tokens = jax.vmap(
-        lambda p, k: jax.random.categorical(k, jnp.log(p + 1e-30))
-    )(sp, keys).astype(jnp.int32)
+    new_tokens = filter_sample_rows(
+        lg, keys, temperature, top_k, top_p, min_p, typical,
+        candidate_cap=candidate_cap,
+    )
 
     # append to history at seq_lens (only meaningful for active slots)
     seq_bufs = jax.vmap(
@@ -203,7 +209,7 @@ def _engine_step(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
-                     "mlp_fuse", "attn_fuse", "qkv_fuse"),
+                     "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap"),
     donate_argnames=("kv",),
 )
 def _engine_spec_step(
@@ -234,6 +240,7 @@ def _engine_spec_step(
     mlp_fuse: bool = True,
     attn_fuse: bool = True,
     qkv_fuse: bool = False,
+    candidate_cap: int = 0,
 ):
     """Speculative (draft-and-verify) engine step: one forward over K+1
     tokens per slot, target-distribution samples at every position,
@@ -265,15 +272,13 @@ def _engine_spec_step(
     lg = jnp.where(lg > 0, lg / vmask, lg * vmask)
     lg = lg + eos_ban[:, None, :]
 
-    keys = jax.random.split(key, b * k1).reshape(b, k1, 2)
-    sp = jax.vmap(jax.vmap(_filter_row))(
-        lg,
-        *(jnp.broadcast_to(v[:, None], (b, k1)) for v in
-          (temperature, top_k, top_p, min_p, typical)),
-    )
-    samples = jax.vmap(jax.vmap(
-        lambda p, k: jax.random.categorical(k, jnp.log(p + 1e-30))
-    ))(sp, keys).astype(jnp.int32)                      # [B, K+1]
+    keys = jax.random.split(key, b * k1)
+    samples = filter_sample_rows(
+        lg.reshape(b * k1, -1), keys,
+        *(jnp.broadcast_to(v[:, None], (b, k1)).reshape(b * k1)
+          for v in (temperature, top_k, top_p, min_p, typical)),
+        candidate_cap=candidate_cap,
+    ).reshape(b, k1)                                    # [B, K+1]
 
     # prefix acceptance: position i survives while the target's sample
     # equals the draft; m = length of the surviving prefix
@@ -337,7 +342,8 @@ class ContinuousBatchingEngine:
     def __init__(self, model, tokenizer=None, max_slots: int = 8,
                  seed: int = 0, prefill_bucket: int = 64,
                  attn_bucket: int = 256, mesh=None,
-                 spec_proposer=None, spec_lookahead: int = 4):
+                 spec_proposer=None, spec_lookahead: int = 4,
+                 sampler_candidate_cap: int = 0):
         self.model = model
         self.tokenizer = tokenizer
         self.max_slots = max_slots
@@ -350,6 +356,11 @@ class ContinuousBatchingEngine:
         self.spec_proposer = spec_proposer
         self.spec_lookahead = spec_lookahead
         self.spec_stats = {"drafted": 0, "accepted": 0, "steps": 0}
+        # 0 = reference-parity full-vocab sampling. C > 0 pre-selects the
+        # top-C logits per position before the filter pipeline (one 32k
+        # sort per row is the dominant sampler cost of a batched step);
+        # top_p/typical then renormalize over the top-C mass — opt-in.
+        self.sampler_candidate_cap = sampler_candidate_cap
         cfg = model.config
         self.mesh = mesh if mesh is not None else getattr(model, "mesh", None)
         self.cache = ExLlamaCache(model, batch_size=max_slots)
@@ -718,6 +729,7 @@ class ContinuousBatchingEngine:
             mlp_fuse=self.model.config.tuning.fuse_mlp,
             attn_fuse=self.model.config.tuning.fuse_attn,
             qkv_fuse=self.model.config.tuning.fuse_qkv,
+            candidate_cap=self.sampler_candidate_cap,
         )
         self.cache.state = new_kv
         # device-side copies roll forward as next step's operands (no
@@ -826,6 +838,7 @@ class ContinuousBatchingEngine:
                 mlp_fuse=self.model.config.tuning.fuse_mlp,
                 attn_fuse=self.model.config.tuning.fuse_attn,
                 qkv_fuse=self.model.config.tuning.fuse_qkv,
+                candidate_cap=self.sampler_candidate_cap,
             )
         )
         self.cache.state = new_kv

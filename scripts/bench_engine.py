@@ -45,6 +45,9 @@ def run_config(slots, ctx, spec=False, steps=48):
         model, FakeTokenizer(), max_slots=slots, prefill_bucket=256,
         spec_proposer=NgramProposer(max_ngram=3, max_draft=6)
         if spec else None,
+        # ENGINE_CAND_CAP=1024: opt-in top-C sampler pre-selection (skips
+        # the per-row full-vocab sort; top_p/typical renormalize over C)
+        sampler_candidate_cap=int(os.environ.get("ENGINE_CAND_CAP", "0")),
     )
     rng = np.random.default_rng(1)
     prompt_len = ctx - steps - 8

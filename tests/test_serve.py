@@ -366,3 +366,32 @@ def test_engine_int4_kv_with_spec_mode():
     for r in reqs:
         assert len(r.new_tokens) == 8
         assert all(0 <= t < cfg.vocab_size for t in r.new_tokens)
+
+
+def test_engine_candidate_cap_greedy_identical(model):
+    """sampler_candidate_cap bounds the filter pipeline to the top-C
+    logits; greedy decoding (top_k=1) must be bit-identical to the
+    uncapped engine, and a sampled run must still produce valid tokens."""
+    tok = FakeTokenizer()
+    ids = tok.encode("candidate cap!")[0]
+    eng0 = ContinuousBatchingEngine(model, tok, max_slots=2)
+    r0 = eng0.submit(ids, max_new_tokens=6, settings=GREEDY,
+                     stop_tokens=(-1,))
+    eng0.run()
+    eng1 = ContinuousBatchingEngine(model, tok, max_slots=2,
+                                    sampler_candidate_cap=64)
+    r1 = eng1.submit(ids, max_new_tokens=6, settings=GREEDY,
+                     stop_tokens=(-1,))
+    eng1.run()
+    assert r1.new_tokens == r0.new_tokens
+
+    sampled = SamplerSettings(temperature=0.9, top_k=40, top_p=0.9,
+                              token_repetition_penalty_max=1.1)
+    eng2 = ContinuousBatchingEngine(model, tok, max_slots=2,
+                                    sampler_candidate_cap=64,
+                                    spec_proposer=None)
+    r2 = eng2.submit(ids, max_new_tokens=6, settings=sampled,
+                     stop_tokens=(-1,))
+    eng2.run()
+    assert len(r2.new_tokens) == 6
+    assert all(0 <= t < model.config.vocab_size for t in r2.new_tokens)
