@@ -13,6 +13,29 @@ import os
 _initialized = False
 
 
+def _host_tag() -> str:
+    """Short fingerprint of this host's CPU features.
+
+    XLA:CPU AOT cache entries do NOT key on CPU features: loading an entry
+    compiled on a host with different features logs machine-mismatch
+    errors and can SIGILL (cpu_aot_loader.cc) — observed with a shared
+    cache dir surviving across differently-featured machines. Partitioning
+    the cache per feature-set keeps reuse where it is safe."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def init_compilation_cache():
     global _initialized
     if _initialized:
@@ -22,7 +45,9 @@ def init_compilation_cache():
     if target == "off":
         return
     if not target:
-        target = os.path.expanduser("~/.cache/exllama_tpu_jax")
+        target = os.path.expanduser(
+            "~/.cache/exllama_tpu_jax/" + _host_tag()
+        )
     try:
         import jax
 
