@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from exllama_tpu.generator import _sample_step
+from exllama_tpu.utils.streaming import split_on_stop_strings
 
 MAX_CACHED_STRINGS = 100
 
@@ -120,47 +121,46 @@ class ExLlamaAltGenerator:
         self.settings = gen_settings
         self.gen_begin_reuse(applied, gen_settings)
 
+    def _flush_held(self) -> tuple[str, bool]:
+        """End of stream: everything held is now safe to emit (the stop
+        string it might have grown into can no longer complete)."""
+        released, self.held_text = self.held_text, ""
+        self.sequence_str += released
+        return released, True
+
+    def _decode_delta(self, window: int) -> str:
+        """Text the newest token added, via bounded-window re-decode —
+        decoding a window (not the lone token) lets the tokenizer resolve
+        merges/whitespace that depend on the preceding ids."""
+        before = self.tokenizer.decode(self.sequence_ids[0, -(window + 1) : -1])
+        after = self.tokenizer.decode(self.sequence_ids[0, -(window + 1) :])
+        return after[len(before) :]
+
     def stream(self) -> tuple[str, bool]:
-        """Next chunk of text + EOS flag (alt_generator.py:116-174)."""
+        """Next chunk of text + EOS flag.
+
+        Built on the withhold-split primitive
+        (utils/streaming.split_on_stop_strings): each step emits the
+        longest unambiguous prefix and holds only the tail that could still
+        grow into a stop string — the reference's holding is all-or-nothing
+        per chunk (alt_generator.py:136-174); this streams strictly more,
+        with the same no-leak guarantee.
+        """
         if self.remaining_tokens == 0:
-            self.sequence_str += self.held_text
-            return self.held_text, True
+            return self._flush_held()
         self.remaining_tokens -= 1
 
-        old_tail = self.tokenizer.decode(
-            self.sequence_ids[0, -self.max_stop_tokens :]
+        token = int(self.gen_single_token(self.settings)[0, 0])
+        if token in self.stop_tokens:
+            return self._flush_held()
+
+        delta = self._decode_delta(self.max_stop_tokens)
+        safe, held, matched = split_on_stop_strings(
+            self.held_text + delta, self.stop_strings
         )
-        next_token = int(self.gen_single_token(self.settings)[0, 0])
-
-        if next_token in self.stop_tokens:
-            self.sequence_str += self.held_text
-            return self.held_text, True
-
-        new_tail = self.tokenizer.decode(
-            self.sequence_ids[0, -(self.max_stop_tokens + 1) :]
-        )
-        self.held_text += new_tail[len(old_tail) :]
-
-        partial_ss = False
-        for ss in self.stop_strings:
-            position = self.held_text.find(ss)
-            if position != -1:
-                self.sequence_str += self.held_text[:position]
-                return self.held_text[:position], True
-            overlap = 0
-            for j in range(1, min(len(self.held_text), len(ss)) + 1):
-                if self.held_text[-j:] == ss[:j]:
-                    overlap = j
-            if overlap > 0:
-                partial_ss = True
-
-        if partial_ss:
-            return "", False
-
-        stream_text = self.held_text
-        self.held_text = ""
-        self.sequence_str += stream_text
-        return stream_text, False
+        self.held_text = "" if matched else held
+        self.sequence_str += safe
+        return safe, matched
 
     def generate(
         self,

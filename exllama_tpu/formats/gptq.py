@@ -320,6 +320,15 @@ class QuantTensor:
     # bf16 rate on v5e). See formats.gptq.with_w8 / ops.quant._q4_matmul_w8.
     w8: Optional[jax.Array] = None        # int8 [K, N_pad]
     w8_scale: Optional[jax.Array] = None  # f32  [1, N_pad] per-column scale
+    # Tensor-parallel retiling (see retile_out_for_tp / retile_in_for_tp):
+    # >1 means the stored arrays are laid out as ``tp_segments`` equal,
+    # independently padded per-shard segments along the retiled axis. Such
+    # a tensor is only meaningful under shard_map with each shard holding
+    # one segment (localize_for_tp rewrites the metadata to the local view);
+    # calling q4_matmul on the global view is an error.
+    tp_segments: int = dataclasses.field(
+        default=1, metadata=dict(static=True)
+    )
 
     @property
     def act_order(self) -> bool:
@@ -348,6 +357,29 @@ def _build_w8(qt: "QuantTensor"):
     scale = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
     w8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return w8, scale
+
+
+@jax.jit
+def _build_w8_scale(qt: "QuantTensor"):
+    import jax.numpy as jnp
+
+    from exllama_tpu.ops.quant import dequantize_xla
+
+    w = dequantize_xla(qt, dtype=jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    return jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+
+
+def with_w8_scale(qt: QuantTensor) -> QuantTensor:
+    """Attach ONLY the per-column int8 scale (colmax/127, [1, N_pad] f32 —
+    4 bytes/column) without the resident image. The in-kernel-requant
+    turbo prefill path (ops.quant._q4_prefill_kernel_npair_a8) consumes it
+    as a static input instead of re-reducing the dequantized weight per
+    call; tensors whose full image fits the HBM budget get with_w8
+    instead."""
+    if qt.w8_scale is not None:
+        return qt
+    return dataclasses.replace(qt, w8_scale=_build_w8_scale(qt))
 
 
 def with_w8(qt: QuantTensor) -> QuantTensor:
@@ -555,6 +587,211 @@ def quantize_matrix(
     if act_order:
         out["g_idx"] = g_idx
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel retiling (no reference counterpart — the reference's only
+# multi-GPU mechanism is per-layer placement, model.py:636-668, which never
+# splits a matmul; here Megatron-style TP shards columns/rows of the packed
+# layout over the mesh's ``tp`` axis, parallel/mesh.py)
+# ---------------------------------------------------------------------------
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def tp_chunk(total: int, tp: int, step: int) -> int:
+    """Uniform per-shard chunk covering ``total`` split ``tp`` ways at
+    ``step`` alignment; the last shard(s) may cover fewer true elements
+    (their tails are zero-padded by the retile functions)."""
+    return _ceil_to(-(-total // tp), step)
+
+
+def retile_out_for_tp(
+    qt: QuantTensor, tp: int, chunk: "int | None" = None
+) -> QuantTensor:
+    """Re-tile output columns into ``tp`` independently padded segments.
+
+    Column-parallel (Megatron 'out') sharding needs each shard's columns to
+    be a self-contained npair layout: shard ``t`` holds true columns
+    ``[t*chunk, min((t+1)*chunk, n))`` — ``chunk`` defaults to an even
+    split — zero-extended to ``chunk`` width and padded to N_ALIGN like any
+    npair tensor. A matching row-parallel consumer (retile_in_for_tp with
+    the same ``chunk``) lines up with the zero tails, which lets K splits
+    land off group boundaries (e.g. 65B's intermediate 22016 over tp=8).
+    The stored width becomes ``tp * padded_n(chunk)`` and ``out_features``
+    becomes ``tp * chunk`` so the per-shard local view is exactly
+    ``out_features // tp`` columns — see localize_for_tp. x_map (a K-side
+    permutation) is unaffected.
+    """
+    assert qt.layout == "npair" and qt.tp_segments == 1
+    assert qt.w8 is None, "retile before attaching the w8 image"
+    if tp == 1:
+        return qt
+    n = qt.out_features
+    if chunk is None:
+        assert n % tp == 0, (n, tp)
+        chunk = n // tp
+    assert chunk * tp >= n, (chunk, tp, n)
+    if (
+        chunk * tp == n
+        and chunk % N_ALIGN == 0
+        and qt.padded_out_features == n
+    ):
+        # segments already coincide with aligned blocks of the stored
+        # layout — an even column split needs no repack, only the marker
+        return dataclasses.replace(qt, tp_segments=tp)
+    seg_pad = padded_n(chunk)
+    q = unpack_npair(np.asarray(qt.qweight))          # [K, N_pad] uint8
+    s = np.asarray(qt.scales)
+    z = np.asarray(qt.zscale)
+    gsz = s.shape[0]
+    k = qt.in_features
+    qn = np.zeros((k, tp * seg_pad), np.uint8)
+    sn = np.zeros((gsz, tp * seg_pad), s.dtype)
+    zn = np.zeros((gsz, tp * seg_pad), z.dtype)
+    for t in range(tp):
+        lo = t * chunk
+        hi = min((t + 1) * chunk, n)
+        if hi <= lo:
+            continue
+        dst = slice(t * seg_pad, t * seg_pad + (hi - lo))
+        qn[:, dst] = q[:, lo:hi]
+        sn[:, dst] = s[:, lo:hi]
+        zn[:, dst] = z[:, lo:hi]
+    return dataclasses.replace(
+        qt,
+        qweight=pack_npair(qn),
+        scales=sn,
+        zscale=zn,
+        out_features=tp * chunk,
+        tp_segments=tp,
+    )
+
+
+def retile_in_for_tp(
+    qt: QuantTensor, tp: int, row_step: int = 128,
+    chunk: "int | None" = None,
+) -> QuantTensor:
+    """Re-tile input rows into ``tp`` segments for row-parallel ('in')
+    sharding (o/down projections; partial outputs psum over tp).
+
+    Shard ``t`` holds true K rows ``[t*chunk, min((t+1)*chunk, k))``,
+    zero-padded (zero-scale groups) to the uniform ``chunk`` — which must
+    hold whole quantization groups and defaults to
+    ``tp_chunk(k, tp, lcm(row_step, groupsize))`` so every shard's local K
+    is kernel-legal even when ``k/tp`` is not group-aligned. When the split
+    is exact the packed rows already slice cleanly and only the metadata
+    changes. ``in_features`` becomes ``tp * chunk``; the activation fed per
+    shard must carry matching zero features in its tail (column-parallel
+    producers retiled with the same ``chunk`` provide exactly that). x_map
+    rows are sliced with the chunks; padded entries gather index 0 (their
+    zero-scale rows contribute nothing).
+    """
+    import math as _math
+
+    assert qt.layout == "npair" and qt.tp_segments == 1
+    assert qt.w8 is None, "retile before attaching the w8 image"
+    if tp == 1:
+        return qt
+    k = qt.in_features
+    gs = qt.groupsize
+    step = _math.lcm(row_step, gs)
+    if chunk is None:
+        chunk = tp_chunk(k, tp, step)
+    assert chunk % gs == 0 and chunk * tp >= k, (chunk, gs, tp, k)
+    if chunk * tp == k:
+        return dataclasses.replace(qt, tp_segments=tp)
+    q = unpack_npair(np.asarray(qt.qweight))          # [K, N_pad]
+    s = np.asarray(qt.scales)
+    z = np.asarray(qt.zscale)
+    n_pad = q.shape[1]
+    qn = np.zeros((tp * chunk, n_pad), np.uint8)
+    sn = np.zeros((tp * chunk // gs, n_pad), s.dtype)
+    zn = np.zeros((tp * chunk // gs, n_pad), z.dtype)
+    xm = None
+    if qt.x_map is not None:
+        xm = np.zeros((tp * chunk,), np.int32)
+        xsrc = np.asarray(qt.x_map, np.int32)
+    for t in range(tp):
+        lo = t * chunk
+        hi = min((t + 1) * chunk, k)
+        if hi <= lo:
+            continue
+        rows = hi - lo
+        qn[t * chunk : t * chunk + rows] = q[lo:hi]
+        # spans stay group-aligned: k (wire format) and chunk are both
+        # multiples of gs, so no scale row ever mixes true and pad rows
+        assert rows % gs == 0, (rows, gs)
+        sg = slice(t * chunk // gs, (t * chunk + rows) // gs)
+        sn[sg] = s[lo // gs : hi // gs]
+        zn[sg] = z[lo // gs : hi // gs]
+        if xm is not None:
+            xm[t * chunk : t * chunk + rows] = xsrc[lo:hi]
+    return dataclasses.replace(
+        qt,
+        qweight=pack_npair(qn),
+        scales=sn,
+        zscale=zn,
+        x_map=None if xm is None else xm,
+        in_features=tp * chunk,
+        tp_segments=tp,
+    )
+
+
+def fuse_quant_tensors_tp(qts: "list[QuantTensor]", tp: int) -> QuantTensor:
+    """TP-aware projection fusion: like concat_quant_tensors, but the parts'
+    per-shard segments interleave so an even tp column split hands every
+    shard its own fused [part0_loc | part1_loc | ...] block. Inputs must
+    already be retiled with the SAME tp (retile_out_for_tp)."""
+    first = qts[0]
+    for qt in qts:
+        assert qt.tp_segments == tp and qt.layout == "npair"
+        assert qt.in_features == first.in_features
+        assert qt.groupsize == first.groupsize
+        assert qt.x_map is None, "cannot fuse act-order tensors"
+    import jax.numpy as jnp
+
+    def interleave(arrs, widths):
+        # arrs: per-part packed arrays [rows, tp*w_p]; widths in array cols
+        segs = []
+        for t in range(tp):
+            for a, w in zip(arrs, widths):
+                segs.append(a[:, t * w : (t + 1) * w])
+        return jnp.concatenate([jnp.asarray(s) for s in segs], axis=1)
+
+    qw_w = [qt.qweight.shape[1] // tp for qt in qts]
+    sc_w = [qt.scales.shape[1] // tp for qt in qts]
+    return QuantTensor(
+        qweight=interleave([np.asarray(qt.qweight) for qt in qts], qw_w),
+        scales=interleave([np.asarray(qt.scales) for qt in qts], sc_w),
+        zscale=interleave([np.asarray(qt.zscale) for qt in qts], sc_w),
+        x_map=None,
+        in_features=first.in_features,
+        # fused convention (concat_quant_tensors): out_features = total
+        # stored width, so the local view is stored_width // tp
+        out_features=sum(qt.padded_out_features for qt in qts),
+        groupsize=first.groupsize,
+        layout="npair",
+        tp_segments=tp,
+    )
+
+
+def localize_for_tp(qt: QuantTensor, mode: str) -> QuantTensor:
+    """Rewrite a retiled tensor's metadata to the per-shard local view
+    (called inside shard_map, where the array leaves are already local).
+    ``mode``: 'out' (column-parallel) or 'in' (row-parallel)."""
+    tp = qt.tp_segments
+    if tp == 1:
+        return qt
+    if mode == "out":
+        return dataclasses.replace(
+            qt, out_features=qt.out_features // tp, tp_segments=1
+        )
+    assert mode == "in"
+    return dataclasses.replace(
+        qt, in_features=qt.in_features // tp, tp_segments=1
+    )
 
 
 def permute_out_columns(qt: QuantTensor, perm: np.ndarray) -> QuantTensor:

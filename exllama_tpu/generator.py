@@ -72,7 +72,7 @@ def _sample_step(
     static_argnames=(
         "n", "attend_len", "heads", "kv_heads", "head_dim", "eps",
         "matmul_impl", "attn_impl", "sustain", "decay",
-        "mlp_fuse", "attn_fuse", "qkv_fuse",
+        "mlp_fuse", "attn_fuse", "qkv_fuse", "mesh",
     ),
     donate_argnames=("kv",),
 )
@@ -85,6 +85,7 @@ def _decode_loop_n(
     eps: float, matmul_impl: str, attn_impl: str,
     sustain: int, decay: int,
     mlp_fuse: bool = True, attn_fuse: bool = True, qkv_fuse: bool = False,
+    mesh=None,
 ):
     """n chained (forward → rep-penalty → sample) steps in ONE dispatch.
 
@@ -105,7 +106,7 @@ def _decode_loop_n(
             preprocess_only=False, heads=heads, kv_heads=kv_heads,
             head_dim=head_dim, eps=eps, matmul_impl=matmul_impl,
             attn_impl=attn_impl, mlp_fuse=mlp_fuse, attn_fuse=attn_fuse,
-            qkv_fuse=qkv_fuse,
+            qkv_fuse=qkv_fuse, mesh=mesh,
         )
         key, sub = jax.random.split(key)
         tokens, _, seq_buf = _sample_step(
@@ -488,6 +489,7 @@ class ExLlamaGenerator:
             mlp_fuse=cfg.tuning.fuse_mlp,
             attn_fuse=cfg.tuning.fuse_attn,
             qkv_fuse=cfg.tuning.fuse_qkv,
+            mesh=self.model.mesh,
         )
         self.cache.state = kv
         self.cache.current_seq_len = past + n
@@ -630,6 +632,14 @@ class ExLlamaGenerator:
         self.beams = None
         if self.settings.beams == 1 and self.settings.beam_length == 1:
             return
+        if self.model.mesh is not None:
+            from exllama_tpu.parallel.mesh import mesh_axis_sizes
+
+            if mesh_axis_sizes(self.model.mesh)[1] > 1:
+                raise NotImplementedError(
+                    "beam search over a tensor-parallel mesh is not "
+                    "supported (per-beam cache gathers assume local KV)"
+                )
         self.in_beam_search = True
 
     def _beam_bias(self):

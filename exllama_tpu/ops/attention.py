@@ -782,7 +782,6 @@ def _flash_prefill_kernel(
     g: int,
     bq: int,
     bk: int,
-    t_total: int,
     scale: float,
     have_bias: bool,
 ):
@@ -881,7 +880,7 @@ def _flash_prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("attend_len", "t_total", "g", "interpret"),
+    static_argnames=("attend_len", "g", "interpret"),
 )
 def _attend_flash_prefill(
     qr: jax.Array,        # [B, Hkv, R_total, D]
@@ -893,7 +892,6 @@ def _attend_flash_prefill(
     v_scale: Optional[jax.Array],
     *,
     attend_len: int,
-    t_total: int,
     g: int,
     interpret: bool,
 ):
@@ -920,7 +918,6 @@ def _attend_flash_prefill(
         g=g,
         bq=bq,
         bk=bk,
-        t_total=t_total,
         scale=1.0 / (d ** 0.5),
         have_bias=bias is not None,
     )
@@ -1042,7 +1039,7 @@ def attend_flash(
             and t * g >= PREFILL_KERNEL_MIN_ROWS:
         out = _attend_flash_prefill(
             qr, k_cache, v_cache, past_b, bias, ks4, vs4,
-            attend_len=attend_len, t_total=t, g=g, interpret=interpret,
+            attend_len=attend_len, g=g, interpret=interpret,
         )
     else:
         out = _attend_flash_padded(

@@ -659,22 +659,67 @@ def _q4_deqw2_kernel_npair_ovl(
     ).astype(out_dtype)
 
 
+def _a8_requant_store(qw_ref, s_ref, z_ref, ws_ref, w_scr, groupsize,
+                      block_k):
+    """Dequantize an npair qweight block and RE-quantize it to per-column
+    int8 into ``w_scr``, against the PRECOMPUTED column scales in
+    ``ws_ref`` ([1, bn] f32, colmax/127 — static per weight, attached at
+    load or computed by a fused XLA reduce in the caller). Shared by the
+    plain and overlapped a8 prefill kernels.
+
+    One statically-unrolled store pass, the same shape as the bf16
+    _deqw2_npair_store (which Mosaic handles up to 70B's 224 groups). Two
+    designs failed before landing here (round 5): the in-kernel amax
+    needed a SECOND unrolled pass and crashed the Mosaic compile at 33B's
+    down-proj (140 groups), and a fori_loop variant hit Mosaic's
+    dynamic-sublane-index limits on the per-group scale loads
+    (vector.load of [1, gsz, bn] at a dynamic middle index). Precomputed
+    static scales + static slices are both legal and small.
+    """
+    gs = groupsize
+    half = N_ALIGN // 2
+    b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
+    s = s_ref[0].astype(jnp.float32)
+    z = z_ref[0].astype(jnp.float32)
+    for sub in range(qw_ref.shape[1] // half):
+        qcols = slice(sub * half, (sub + 1) * half)
+        lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+        hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+        inv_lo = 1.0 / jnp.maximum(ws_ref[0:1, lo_c], 1e-22)
+        inv_hi = 1.0 / jnp.maximum(ws_ref[0:1, hi_c], 1e-22)
+        for g in range(block_k // gs):
+            blk = b8[g * gs : (g + 1) * gs, qcols]
+            bval = blk.astype(jnp.float32)
+            hv = (blk & (-16)).astype(jnp.float32)
+            w_lo = (bval - hv) * s[g : g + 1, lo_c] - z[g : g + 1, lo_c]
+            w_hi = hv * (s[g : g + 1, hi_c] * 0.0625) + (
+                s[g : g + 1, hi_c] * 8.0 - z[g : g + 1, hi_c]
+            )
+            rows = slice(g * gs, (g + 1) * gs)
+            w_scr[rows, lo_c] = jnp.clip(
+                jnp.round(w_lo * inv_lo), -127, 127
+            ).astype(jnp.int8)
+            w_scr[rows, hi_c] = jnp.clip(
+                jnp.round(w_hi * inv_hi), -127, 127
+            ).astype(jnp.int8)
+
+
 def _q4_prefill_kernel_npair_a8(
     x_ref,        # [bm, K]
     qw_ref,       # [K/4, bn/2]
     s_ref,        # [1, K/gs, bn]
     z_ref,
+    ws_ref,       # [1, bn] f32 per-column int8 scales (colmax/127, static)
     out_ref,      # [bm, bn]
     w_scr,        # [K, bn] int8 re-quantized weight scratch
-    cs_scr,       # [8, bn] f32 per-column weight scales (row 0 real)
     *,
     groupsize: int,
     block_k: int,
     out_dtype,
 ):
     """W4A8 turbo prefill, 'deqw8' design: once per N-block the dequantized
-    weights are RE-quantized to per-column int8 in VMEM (two register
-    passes: column amax, then scaled store — the cached-dequant trick of
+    weights are RE-quantized to per-column int8 in VMEM against the
+    precomputed static column scales (the cached-dequant trick of
     _q4_deqw2_kernel_npair with an int8 target); every M tile then runs
     ONE full-K int8 MXU dot (~2x the bf16 MXU rate on v5e) plus a single
     [bm, bn] rescale by (row activation scale x column weight scale).
@@ -685,52 +730,12 @@ def _q4_prefill_kernel_npair_a8(
     re-quant <= colmax/254, activation per-row int8 <= rowmax/254; noisier
     than decode turbo, opt-in (--turbo_prefill)."""
     m_idx = pl.program_id(1)
-    gs = groupsize
-    half = N_ALIGN // 2
 
     @pl.when(m_idx == 0)
     def _():
-        b8 = pltpu.bitcast(qw_ref[:], jnp.int8)
-        s = s_ref[0].astype(jnp.float32)
-        z = z_ref[0].astype(jnp.float32)
-        for sub in range(b8.shape[1] // half):
-            qcols = slice(sub * half, (sub + 1) * half)
-            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
-            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
-
-            def wf_lo_hi(g):
-                blk = b8[g * gs : (g + 1) * gs, qcols]
-                bval = blk.astype(jnp.float32)
-                hv = (blk & (-16)).astype(jnp.float32)
-                w_lo = (bval - hv) * s[g : g + 1, lo_c] - z[g : g + 1, lo_c]
-                w_hi = hv * (s[g : g + 1, hi_c] * 0.0625) + (
-                    s[g : g + 1, hi_c] * 8.0 - z[g : g + 1, hi_c]
-                )
-                return w_lo, w_hi
-
-            cm_lo = jnp.zeros((1, half), jnp.float32)
-            cm_hi = jnp.zeros((1, half), jnp.float32)
-            for g in range(block_k // gs):
-                w_lo, w_hi = wf_lo_hi(g)
-                cm_lo = jnp.maximum(
-                    cm_lo, jnp.max(jnp.abs(w_lo), axis=0, keepdims=True)
-                )
-                cm_hi = jnp.maximum(
-                    cm_hi, jnp.max(jnp.abs(w_hi), axis=0, keepdims=True)
-                )
-            inv_lo = 127.0 / jnp.maximum(cm_lo, 1e-20)
-            inv_hi = 127.0 / jnp.maximum(cm_hi, 1e-20)
-            cs_scr[0:1, lo_c] = 1.0 / inv_lo
-            cs_scr[0:1, hi_c] = 1.0 / inv_hi
-            for g in range(block_k // gs):
-                w_lo, w_hi = wf_lo_hi(g)
-                rows = slice(g * gs, (g + 1) * gs)
-                w_scr[rows, lo_c] = jnp.clip(
-                    jnp.round(w_lo * inv_lo), -127, 127
-                ).astype(jnp.int8)
-                w_scr[rows, hi_c] = jnp.clip(
-                    jnp.round(w_hi * inv_hi), -127, 127
-                ).astype(jnp.int8)
+        _a8_requant_store(
+            qw_ref, s_ref, z_ref, ws_ref, w_scr, groupsize, block_k
+        )
 
     xf = x_ref[:].astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)       # [bm, 1]
@@ -741,11 +746,64 @@ def _q4_prefill_kernel_npair_a8(
         preferred_element_type=jnp.int32,
     )
     out_ref[:] = (
-        acc.astype(jnp.float32) * sx * cs_scr[0:1, :]
+        acc.astype(jnp.float32) * sx * ws_ref[0:1, :]
+    ).astype(out_dtype)
+
+
+def _q4_prefill_kernel_npair_a8_ovl(
+    x_ref,        # [bm, K]
+    qw_ref,       # [K/4, bn/2] — block j, except block j+1 at the LAST m step
+    s_ref,        # [1, K/gs, bn] — shifted in lockstep with qw_ref
+    z_ref,
+    ws_ref,       # [1, bn] f32 — shifted in lockstep with qw_ref
+    ws_cur_ref,   # [1, bn] f32 — always block j (for the epilogue rescale)
+    out_ref,      # [bm, bn]
+    w_scr,        # [2, K, bn] int8 scratch, double-buffered per N block
+    *,
+    groupsize: int,
+    block_k: int,
+    out_dtype,
+):
+    """Overlapped deqw8 (OPT-IN, EXL_A8_OVL=1 — measured negative like the
+    bf16 variant, see the dispatch comment): re-quantize N block j+1 during
+    the last M-step dots of block j. Requires >= 2 M steps."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    num_n = pl.num_programs(0)
+    num_m = pl.num_programs(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        _a8_requant_store(
+            qw_ref, s_ref, z_ref, ws_ref, w_scr.at[0], groupsize, block_k,
+        )
+
+    @pl.when((i == num_m - 1) & (j + 1 < num_n))
+    def _():
+        _a8_requant_store(
+            qw_ref, s_ref, z_ref, ws_ref, w_scr.at[(j + 1) % 2],
+            groupsize, block_k,
+        )
+
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)       # [bm, 1]
+    sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_scr[j % 2], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (
+        acc.astype(jnp.float32) * sx * ws_cur_ref[0:1, :]
     ).astype(out_dtype)
 
 
 DEQW2_VMEM_BUDGET = 100 * 1024 * 1024
+# The a8 kernels' Mosaic footprint runs hotter than the estimate below
+# (int8 scratch stores pay extra copies): at 33B's down-proj (K=17920,
+# bm=256, est ~57 MB) the compile helper aborts under the 110 MB limit.
+# A tighter fit budget forces smaller M tiles on big-K shapes.
+DEQW2_VMEM_BUDGET_A8 = 55 * 1024 * 1024
 
 
 def _deqw2_vmem_bytes(
@@ -753,9 +811,9 @@ def _deqw2_vmem_bytes(
     ovl: bool = False,
 ) -> int:
     return (
-        # dequantized scratch: bf16 (x2 when the overlapped kernel
-        # double-buffers it), or int8 + col scales for deqw8 (a8)
-        ((k * bn + 8 * bn * 4) if a8 else k * bn * 2 * (2 if ovl else 1))
+        # dequantized scratch: bf16, or int8 + col scales for deqw8 (a8);
+        # x2 when the overlapped kernels double-buffer it
+        ((k * bn + 8 * bn * 4) if a8 else k * bn * 2) * (2 if ovl else 1)
         + (k // 8) * bn * 4 * 2      # qweight blocks, double buffered
         + bm * k * 2 * 2             # x blocks
         + (k // groupsize) * bn * 2 * 4
@@ -775,6 +833,7 @@ def _q4_matmul_deqw2_call(
     qweight: jax.Array,  # [K/4, N_pad/2] (npair) | [K/8, N_pad] (kgroup)
     scales: jax.Array,   # [K/gs, N_pad]
     zscale: jax.Array,   # [K/gs, N_pad]
+    ws: "jax.Array | None" = None,   # [1, N_pad] f32 col scales (a8 only)
     *,
     groupsize: int,
     block_n: int,
@@ -801,7 +860,7 @@ def _q4_matmul_deqw2_call(
     grid = (num_n, num_m)   # M innermost: scratch reused
     scales3 = scales.reshape(1, gsz, n_pad)
     zscale3 = zscale.reshape(1, gsz, n_pad)
-    overlap = overlap and not a8 and layout == "npair" \
+    overlap = overlap and layout == "npair" \
         and num_m >= 2 and num_n >= 2
     if glu is not None:
         assert layout == "npair" and not a8 and not overlap
@@ -809,8 +868,11 @@ def _q4_matmul_deqw2_call(
         kern_fn = functools.partial(
             _q4_deqw2_kernel_npair_glu, glu_ni=glu[0], glu_ou=glu[1],
         )
+    elif a8 and overlap:
+        assert ws is not None
+        kern_fn = _q4_prefill_kernel_npair_a8_ovl
     elif a8:
-        assert layout == "npair"
+        assert layout == "npair" and ws is not None
         kern_fn = _q4_prefill_kernel_npair_a8
     elif overlap:
         kern_fn = _q4_deqw2_kernel_npair_ovl
@@ -838,13 +900,30 @@ def _q4_matmul_deqw2_call(
         + 2 * gsz * n_pad * scales.dtype.itemsize
         + m * n_pad * jnp.dtype(out_dtype).itemsize
     )
-    if a8:
-        scratch = [pltpu.VMEM((k, block_n), jnp.int8),
-                   pltpu.VMEM((8, block_n), jnp.float32)]
+    if a8 and overlap:
+        scratch = [pltpu.VMEM((2, k, block_n), jnp.int8)]
+    elif a8:
+        scratch = [pltpu.VMEM((k, block_n), jnp.int8)]
     elif overlap:
         scratch = [pltpu.VMEM((2, k, block_n), jnp.bfloat16)]
     else:
         scratch = [pltpu.VMEM((k, block_n), jnp.bfloat16)]
+    ws_args = ()
+    ws_specs = []
+    if a8:
+        ws_args = (ws,)
+        ws_specs = [
+            pl.BlockSpec((1, block_n), lambda j, i: (0, wblock(j, i)),
+                         memory_space=pltpu.VMEM),
+        ]
+        if overlap:
+            # the epilogue needs block j's scales even at the step where
+            # the shifted stream already carries block j+1
+            ws_args = (ws, ws)
+            ws_specs = ws_specs + [
+                pl.BlockSpec((1, block_n), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+            ]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -864,7 +943,7 @@ def _q4_matmul_deqw2_call(
             pl.BlockSpec((1, gsz, block_n),
                          lambda j, i: (0, 0, wblock(j, i)),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ws_specs,
         out_specs=pl.BlockSpec((bm, block_n), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
@@ -876,7 +955,7 @@ def _q4_matmul_deqw2_call(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, qweight, scales3, zscale3)
+    )(x2, qweight, scales3, zscale3, *ws_args)
 
 
 # ---------------------------------------------------------------------------
@@ -1167,12 +1246,29 @@ def _q4_matmul_w8(
     sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
+    bn = N_ALIGN if n_pad % N_ALIGN == 0 else n_pad
+    # VMEM accounting (ADVICE r4): full-K blocks at bm=2048 overflow the
+    # 110 MB cap once K is large (70B down-proj K=28672: the double-
+    # buffered int8 x block alone is ~117 MB). Shrink bm until the double-
+    # buffered x + w8 blocks and the f32 out tile fit.
+    budget = 100 * 1024 * 1024
+
+    def w8_vmem(bm_):
+        return (
+            bm_ * k * 2          # xq int8, double buffered
+            + k * bn * 2         # w8 int8 block, double buffered
+            + bm_ * 4 * 2        # sx
+            + bn * 4 * 2         # ws
+            + bm_ * bn * 4 * 2   # out tile
+        )
+
     bm = min(-(-m // 8) * 8, 2048)
+    while bm > 8 and w8_vmem(bm) > budget:
+        bm //= 2
     m_pad = -(-m // bm) * bm
     if m_pad != m:
         xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
         sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
-    bn = N_ALIGN if n_pad % N_ALIGN == 0 else n_pad
     grid = (n_pad // bn, m_pad // bm)
     out = pl.pallas_call(
         functools.partial(_w8_matmul_kernel, out_dtype=out_dtype),
@@ -1208,6 +1304,16 @@ def _q4_matmul_w8(
 # (the masked-gather decomposition is O(nblk²) unrolled ops; beyond this the
 # XLA gather is competitive and compile time is not).
 KERNEL_PERMUTE_MAX_BLOCKS = 112
+
+
+def _w8_col_scale(qt: QuantTensor) -> jax.Array:
+    """Per-column int8 re-quantization scale (colmax/127) of the
+    dequantized weight — the same formula as formats.gptq._build_w8, so
+    the in-kernel requant path is numerically identical to the resident-w8
+    image. [1, N_pad] f32."""
+    w = dequantize_xla(qt, dtype=jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    return jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
 
 
 def _glu_silu_mul(x: jax.Array, ni: int, ou: int) -> jax.Array:
@@ -1303,13 +1409,14 @@ def _q4_matmul_pallas(
     prefill_a8 = False
     if a8 and kind == "gemv" and qt.layout == "npair":
         kind = "gemv_a8"   # W4A8 turbo decode path
-    elif a8_prefill and kind == "deqw" and qt.layout == "npair" \
-            and qt.x_map is None:
+    elif a8_prefill and kind == "deqw" and qt.layout == "npair":
         # full-turbo prefill (matmul_impl="pallas_a8t"): int8 MXU dots at
         # ~2x the bf16 rate. A separate opt-in beyond "pallas_a8": unlike
         # turbo decode (one token's path), prefill quantizes every
         # activation of every layer and the noise compounds through the KV
         # cache (~3% of logit scale at depth 2, growing with depth).
+        # act-order rides the same activation pre-gather as every other
+        # prefill path (applied below, before the deqw2 call).
         prefill_a8 = True
     n_pad = qt.padded_out_features
     deqw2_bn = int(os.environ.get("DEQW2_BN", str(N_ALIGN)))
@@ -1363,6 +1470,9 @@ def _q4_matmul_pallas(
         # for the npair sub-block loop). Take the largest fitting M tile.
         # Prefer the overlapped kernel (double scratch) when it fits.
         def fit_bm(ovl):
+            budget = (
+                DEQW2_VMEM_BUDGET_A8 if prefill_a8 else DEQW2_VMEM_BUDGET
+            )
             return next(
                 (
                     c
@@ -1373,33 +1483,56 @@ def _q4_matmul_pallas(
                     and _deqw2_vmem_bytes(
                         k, bn2, c, qt.groupsize, a8=prefill_a8, ovl=ovl
                     )
-                    <= DEQW2_VMEM_BUDGET
+                    <= budget
                 ),
                 None,
             )
 
-        # MEASURED NEGATIVE (round 4): the overlapped kernel's doubled
-        # [2, K, bn] scratch costs more in VMEM/pipelining than the
-        # per-N-block dequant it hides — plain deqw2 already runs at
-        # 154-184 TFLOP/s (min-timed), i.e. the dequant serialization is
-        # noise, and ovl regressed the K=11008 down-proj 154 -> 96 TFLOP/s.
-        # Kept opt-in for re-evaluation on other shapes/hardware.
-        use_ovl = (
-            not prefill_a8
-            and qt.layout == "npair"
-            and n_pad // bn2 >= 2
-            and os.environ.get("EXL_DEQW2_OVL", "0") == "1"
-        )
+        # Overlap (double-buffered scratch, requant/dequant of N block j+1
+        # during block j's dots):
+        #   * bf16 deqw2 — MEASURED NEGATIVE (round 4): the doubled
+        #     [2, K, bn] bf16 scratch costs more in VMEM/pipelining than
+        #     the dequant it hides (K=11008 down 154 -> 96 TFLOP/s).
+        #     Kept opt-in (EXL_DEQW2_OVL=1).
+        #   * a8 deqw8 — ALSO MEASURED NEGATIVE (round 5, same pathology
+        #     despite the half-size int8 scratch): 13B down 1.50 -> 4.47 ms,
+        #     33B qkv 2.20 -> 6.20 (micro_prefill13 A/B on hardware). The
+        #     requant serialization it was meant to hide is cheaper than
+        #     the pipelining the doubled scratch costs. Opt-in EXL_A8_OVL=1.
+        if prefill_a8:
+            use_ovl = (
+                qt.layout == "npair"
+                and n_pad // bn2 >= 2
+                and os.environ.get("EXL_A8_OVL", "0") == "1"
+            )
+        else:
+            use_ovl = (
+                qt.layout == "npair"
+                and n_pad // bn2 >= 2
+                and os.environ.get("EXL_DEQW2_OVL", "0") == "1"
+            )
         bm2 = fit_bm(True) if use_ovl else None
         if bm2 is None:
             use_ovl = False
             bm2 = fit_bm(False)
         if bm2 is not None:
+            ws = None
+            if prefill_a8:
+                # static per-column int8 scales: from the resident image's
+                # metadata when attached, else one fused dequant+reduce
+                # (XLA fuses it into the reduction — no materialization
+                # under the caller's jit)
+                ws = (
+                    qt.w8_scale
+                    if qt.w8_scale is not None
+                    else _w8_col_scale(qt)
+                )
             out = _q4_matmul_deqw2_call(
                 x2,
                 qt.qweight,
                 qt.scales,
                 qt.zscale,
+                ws,
                 groupsize=qt.groupsize,
                 block_n=bn2,
                 out_dtype=jnp.dtype(x.dtype),
@@ -1465,6 +1598,12 @@ def q4_matmul(
     (one fewer dispatch per projection); elsewhere it is applied up front.
     Mutually exclusive with ``lora`` (adapters consume the normed x).
     """
+    assert qt.tp_segments == 1, (
+        "q4_matmul on a tp-retiled global view: the tensor's stored layout "
+        "is per-shard segments (formats/gptq.retile_*_for_tp) and only "
+        "valid inside shard_map after localize_for_tp — route this call "
+        "through forward_chunk(mesh=...)"
+    )
     if glu is None:
         assert x.shape[-1] == qt.in_features, (x.shape, qt.in_features)
     else:

@@ -100,40 +100,32 @@ class _Admission:
     done: int = 0           # tokens prefilled so far (multiple of chunk)
 
 
-def _split_held(combined: str, stops: tuple) -> tuple[str, str, int]:
-    """Streaming stop-string holding (alt_generator.py semantics).
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_seq_row(bufs, row, idx):
+    """Write one slot's history row ([S_max] into [slots, S_max]) under
+    jit — a single cached executable instead of an eager scatter."""
+    return jax.lax.dynamic_update_slice(bufs, row[None, :], (idx, 0))
 
-    Returns (release, hold, match): ``match`` >= 0 is the index in
-    ``combined`` where a full stop string begins (generation must end and
-    only combined[:match] is released); otherwise ``hold`` is the longest
-    tail that could still grow into a stop string.
-    """
-    low = combined.lower()
-    match = -1
-    for s in stops:
-        i = low.find(s.lower())
-        if i >= 0 and (match < 0 or i < match):
-            match = i
-    if match >= 0:
-        return combined[:match], "", match
-    hold = 0
-    for s in stops:
-        sl = s.lower()
-        top = min(len(sl) - 1, len(combined))
-        for ln in range(top, 0, -1):
-            if low.endswith(sl[:ln]):
-                hold = max(hold, ln)
-                break
-    if hold:
-        return combined[:-hold], combined[-hold:], -1
-    return combined, "", -1
+
+def _split_held(combined: str, stops: tuple) -> tuple[str, str, int]:
+    """Streaming stop-string holding over the shared withhold-split
+    primitive (utils/streaming.py), case-insensitive per serving
+    convention. Returns (release, hold, match) with match >= 0 iff a full
+    stop string occurred (at the released-prefix boundary)."""
+    from exllama_tpu.utils.streaming import split_on_stop_strings
+
+    safe, held, matched = split_on_stop_strings(
+        combined, stops, fold_case=True
+    )
+    return safe, held, (len(safe) if matched else -1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
-                     "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap"),
+                     "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap",
+                     "mesh"),
     donate_argnames=("kv",),
 )
 def _engine_step(
@@ -167,6 +159,7 @@ def _engine_step(
     attn_fuse: bool = True,
     qkv_fuse: bool = False,
     candidate_cap: int = 0,
+    mesh=None,
 ):
     logits, kv = forward_chunk(
         params, kv, tokens, pos, None, lora,
@@ -174,6 +167,7 @@ def _engine_step(
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
         matmul_impl=matmul_impl, attn_impl=attn_impl,
         mlp_fuse=mlp_fuse, attn_fuse=attn_fuse, qkv_fuse=qkv_fuse,
+        mesh=mesh,
     )
     lg = logits[:, -1, :].astype(jnp.float32)
 
@@ -209,7 +203,8 @@ def _engine_step(
     jax.jit,
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
-                     "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap"),
+                     "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap",
+                     "mesh"),
     donate_argnames=("kv",),
 )
 def _engine_spec_step(
@@ -241,6 +236,7 @@ def _engine_spec_step(
     attn_fuse: bool = True,
     qkv_fuse: bool = False,
     candidate_cap: int = 0,
+    mesh=None,
 ):
     """Speculative (draft-and-verify) engine step: one forward over K+1
     tokens per slot, target-distribution samples at every position,
@@ -260,6 +256,7 @@ def _engine_spec_step(
         heads=heads, kv_heads=kv_heads, head_dim=head_dim, eps=eps,
         matmul_impl=matmul_impl, attn_impl=attn_impl,
         mlp_fuse=mlp_fuse, attn_fuse=attn_fuse, qkv_fuse=qkv_fuse,
+        mesh=mesh,
     )
     lg = logits.astype(jnp.float32)                     # [B, K+1, V]
 
@@ -573,7 +570,13 @@ class ContinuousBatchingEngine:
         self.seq_lens[slot] = plen
         buf = np.zeros((cfg.max_seq_len,), np.int32)
         buf[:plen] = ids
-        self.seq_bufs = self.seq_bufs.at[slot].set(jnp.asarray(buf))
+        # jitted row write (one cached executable) rather than an eager
+        # scatter: eager one-shot XLA:CPU executables accumulate per shape
+        # and have segfaulted mid-suite before (round 4/5; eager
+        # multi-device scatter crashed under the 8-device test mesh)
+        self.seq_bufs = _set_seq_row(
+            self.seq_bufs, jnp.asarray(buf), jnp.int32(slot)
+        )
         self.slot_req[slot] = req
         req.state = RUNNING
         self._sched_dirty = True
@@ -730,6 +733,7 @@ class ContinuousBatchingEngine:
             attn_fuse=self.model.config.tuning.fuse_attn,
             qkv_fuse=self.model.config.tuning.fuse_qkv,
             candidate_cap=self.sampler_candidate_cap,
+            mesh=self.mesh,
         )
         self.cache.state = new_kv
         # device-side copies roll forward as next step's operands (no
@@ -839,6 +843,7 @@ class ContinuousBatchingEngine:
                 attn_fuse=self.model.config.tuning.fuse_attn,
                 qkv_fuse=self.model.config.tuning.fuse_qkv,
                 candidate_cap=self.sampler_candidate_cap,
+                mesh=self.mesh,
             )
         )
         self.cache.state = new_kv

@@ -36,6 +36,14 @@ def _host_tag() -> str:
     return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
+def _boot_tag() -> str:
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip().replace("-", "")[:12]
+    except OSError:
+        return "noboot"
+
+
 def init_compilation_cache():
     global _initialized
     if _initialized:
@@ -45,9 +53,29 @@ def init_compilation_cache():
     if target == "off":
         return
     if not target:
-        target = os.path.expanduser(
-            "~/.cache/exllama_tpu_jax/" + _host_tag()
+        import jax
+
+        plat = (
+            getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS", "")
+            or ""
         )
+        if "cpu" in plat:
+            # No persistent cache on the CPU backend at all: XLA:CPU AOT
+            # (de)serialization segfaulted mid-suite in BOTH directions in
+            # round 5 — loading entries from a differently-featured host
+            # (cpu_aot_loader machine-mismatch → SIGILL/SEGV) and WRITING
+            # entries for multi-device shard_map executables
+            # (put_executable_and_time SEGV). CPU compiles are cheap;
+            # correctness beats warm starts.
+            return
+        else:
+            # TPU entries are target (TPU) code — safe across hosts; keep
+            # the host partition anyway for any CPU executables a TPU
+            # process compiles alongside.
+            target = os.path.expanduser(
+                "~/.cache/exllama_tpu_jax/" + _host_tag()
+            )
     try:
         import jax
 

@@ -303,69 +303,61 @@ class Session:
 
     # --------------------------------------------------- context management
 
+    # Prune granularity: quantizing the cut keeps the kept-prefix boundary
+    # stable across consecutive responses, so gen_begin_reuse's common-prefix
+    # cache reuse survives window slides (same rationale as reference :405).
+    CONTEXT_PRUNE_STEP = 256
+
     def set_context_window(self):
-        """Token-budget pruning in 256-token steps (reference :405-454)."""
-
-        def num_tokens(idx):
-            if idx == -1:
-                return 0 if self.fixed_prompt.empty else self.fixed_prompt.num_tokens()
-            return self.history[idx].num_tokens()
-
-        def set_truncation(idx, trunc):
-            if idx == -1 and not self.fixed_prompt.empty:
-                self.fixed_prompt.truncate = trunc
-            else:
-                self.history[idx].truncate = trunc
-
-        def truncate(idx, trunc):
-            if idx == -1 and not self.fixed_prompt.empty:
-                self.fixed_prompt.truncate += trunc
-            else:
-                self.history[idx].truncate += trunc
-
-        context_step_size = 256
-        max_context_tokens = (
+        """Fit the chat window into the token budget by pruning the oldest
+        history, in CONTEXT_PRUNE_STEP quanta (whole nodes first, then a
+        partial truncation of the new front node). Budget = max_seq_len
+        minus one generation chunk minus the beam lookahead. Reference
+        behavior parity: webui/session.py:405-454; the oversized-fixed-
+        prompt fallback is ours (the reference would loop forever)."""
+        budget = (
             model.config.max_seq_len
             - self.chunk_size
             - generator.settings.beam_length
         )
+        if self.keep_fixed_prompt and not self.fixed_prompt.empty:
+            budget -= self.fixed_prompt.num_tokens()
+        self.first_history_idx = max(self.first_history_idx, 0)
 
-        if self.keep_fixed_prompt:
-            current = num_tokens(-1)
-            min_idx = 0
-        else:
-            current = 0
-            min_idx = -1
-        self.first_history_idx = max(self.first_history_idx, min_idx)
+        # everything behind the current front starts un-truncated; only the
+        # front node may carry a partial cut from a previous slide
+        window = self.history[self.first_history_idx :]
+        for node in window[1:]:
+            node.truncate = 0
+        total = sum(node.num_tokens() for node in window)
 
-        for i in range(self.first_history_idx + 1, len(self.history)):
-            set_truncation(i, 0)
-        for i in range(self.first_history_idx, len(self.history)):
-            current += num_tokens(i)
+        overflow = total - budget
+        if overflow <= 0:
+            return
+        step = self.CONTEXT_PRUNE_STEP
+        cut = -(-overflow // step) * step     # quantized prune amount
 
-        while current > max_context_tokens:
-            if self.first_history_idx >= len(self.history):
-                # nothing left to prune but the budget is still exceeded
-                # (e.g. an oversized fixed prompt): truncate the fixed
-                # prompt itself rather than crash.
-                if not self.fixed_prompt.empty:
-                    over = current - max_context_tokens
-                    self.fixed_prompt.truncate = min(
-                        self.fixed_prompt.truncate + over,
-                        self.fixed_prompt.tokens.shape[-1] - 1,
-                    )
+        dropped = 0
+        for node in window:
+            have = node.num_tokens()
+            if cut < have:
+                node.truncate += cut
+                total -= cut
+                cut = 0
                 break
-            to_cut = context_step_size
-            while to_cut > 0 and self.first_history_idx < len(self.history):
-                tokens = num_tokens(self.first_history_idx)
-                if to_cut >= tokens:
-                    to_cut -= tokens
-                    current -= tokens
-                    self.first_history_idx += 1
-                else:
-                    truncate(self.first_history_idx, to_cut)
-                    current -= to_cut
-                    to_cut = 0
+            dropped += 1
+            total -= have
+            cut -= have
+        self.first_history_idx += dropped
+
+        if total > budget and not self.fixed_prompt.empty:
+            # nothing left to prune but still over budget (an oversized
+            # fixed prompt): truncate the fixed prompt itself, never below
+            # one token, rather than crash
+            self.fixed_prompt.truncate = min(
+                self.fixed_prompt.truncate + (total - budget),
+                self.fixed_prompt.tokens.shape[-1] - 1,
+            )
 
     def get_tokenized_context(self):
         context = []

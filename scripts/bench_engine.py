@@ -80,7 +80,10 @@ def run_config(slots, ctx, spec=False, steps=48):
     log(f"slots={slots:>2} ctx={ctx:>5} {tag}aggregate: {adj:7.1f} tok/s "
         f"(raw {agg:.1f}; {dt / steps * 1e3:.1f} ms/step raw, "
         f"rpc {lat * 1e3:.1f} ms, {toks} toks/{steps} steps)")
-    return adj
+    # The adjustment assumes exactly ONE tunnel-bound RPC per step; return
+    # raw alongside so artifacts stay auditable (ADVICE r4).
+    return {"adjusted_tok_s": adj, "raw_tok_s": agg,
+            "ms_per_step_raw": dt / steps * 1e3, "rpc_ms": lat * 1e3}
 
 
 _LAT = None
@@ -109,10 +112,15 @@ def _rpc_latency():
 
 
 def main():
-    run_config(1, 2048)
-    run_config(8, 1024)
-    run_config(16, 512)
-    run_config(8, 1024, spec=True)
+    import json
+
+    results = {
+        "slots1_ctx2048": run_config(1, 2048),
+        "slots8_ctx1024": run_config(8, 1024),
+        "slots16_ctx512": run_config(16, 512),
+        "spec_slots8_ctx1024": run_config(8, 1024, spec=True),
+    }
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -118,6 +118,7 @@ def measure(name):
 
     decode_t = {}
     prefill_t = {}
+    turbo_t = {}
     best_t = {}
     for L in (l1, l2):
         log(f"{name}: building {L}-layer model...")
@@ -137,6 +138,22 @@ def measure(name):
         prefill()
         prefill_t[L] = min(prefill(), prefill())
         log(f"  prefill({L} layers): {prefill_t[L]*1e3:.0f} ms")
+
+        # turbo prompt (a8t): deqw8 in-kernel requant with static column
+        # scales, NO resident images — at full depth residency cannot fit
+        # these models on one chip, so the honest slope is the
+        # image-free path (partial residency only improves on it)
+        model.config.tuning.matmul_impl = "pallas_a8t"
+        p_save = model.params
+        from exllama_tpu.models.llama import _attach_prefill_w8
+
+        model.config.tuning.prefill_w8_budget_gb = 1e-6  # scales only
+        model.params = _attach_prefill_w8(model.params, model.config)
+        prefill()
+        turbo_t[L] = min(prefill(), prefill())
+        log(f"  turbo prefill({L} layers): {turbo_t[L]*1e3:.0f} ms")
+        model.params = p_save
+        model.config.tuning.matmul_impl = "auto"
 
         step = functools.partial(
             forward_chunk, attend_len=cfg.max_seq_len, last_token_only=True,
@@ -209,6 +226,7 @@ def measure(name):
     a_d, b_d, t_full = extrap(decode_t)
     _, _, t_best = extrap(best_t)
     a_p, b_p, t_pre = extrap(prefill_t)
+    _, _, t_turbo = extrap(turbo_t)
 
     lb = layer_bytes(name)
     roof_layer = lb / 740e9                 # s/token/layer at HBM roofline
@@ -217,6 +235,7 @@ def measure(name):
         "worst_decode_tok_s": round(worst_ts, 2),
         "best_decode_tok_s": round(1.0 / t_best, 2),
         "prompt_tok_s": round(PROMPT_LEN / t_pre, 1),
+        "turbo_prompt_tok_s": round(PROMPT_LEN / t_turbo, 1),
         "per_layer_ms": round(a_d * 1e3, 4),
         "per_layer_roofline_ms": round(roof_layer * 1e3, 4),
         "layer_roofline_frac": round(roof_layer / a_d, 3),

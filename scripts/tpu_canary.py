@@ -304,8 +304,66 @@ def main():
                      kv_heads=m.config.num_key_value_heads,
                      head_dim=m.config.head_dim)
 
+    @check("tp4_local_shard_kernels")
+    def c14():
+        # Mosaic legality of the PER-SHARD kernel shapes a tp=4 7B
+        # deployment runs under shard_map (VERDICT r4 item 1): retile the
+        # packed weights, slice shard 0's segment on this one chip, and
+        # compile+run the decode GEMV and prefill kernels at the local
+        # widths (fused qkv 3x1024 cols, gateup 2x3072, down K=2816).
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from exllama_tpu.config import ExLlamaConfig
+        from exllama_tpu.formats.gptq import localize_for_tp
+        from exllama_tpu.formats.loader import make_synthetic_params
+        from exllama_tpu.ops.quant import q4_matmul
+        from exllama_tpu.parallel.mesh import prepare_params_tp
+
+        tp = 4
+        cfg = ExLlamaConfig()      # 7B widths
+        cfg.num_hidden_layers = 1
+        cfg.tuning.fuse_projections = False
+        p = make_synthetic_params(cfg, groupsize=128, act_order=False,
+                                  fast=True)
+        pt = prepare_params_tp(p, tp, fuse=True)
+        lp = pt.layers[0]
+
+        def shard0(qt, mode):
+            loc = localize_for_tp(qt, mode)
+            if mode == "out":
+                w = qt.qweight.shape[1] // tp
+                s = qt.scales.shape[1] // tp
+                return dc.replace(
+                    loc,
+                    qweight=jnp.asarray(qt.qweight[:, :w]),
+                    scales=jnp.asarray(qt.scales[:, :s]),
+                    zscale=jnp.asarray(qt.zscale[:, :s]),
+                )
+            rows = qt.qweight.shape[0] // tp
+            g = qt.scales.shape[0] // tp
+            return dc.replace(
+                loc,
+                qweight=jnp.asarray(qt.qweight[:rows]),
+                scales=jnp.asarray(qt.scales[:g]),
+                zscale=jnp.asarray(qt.zscale[:g]),
+            )
+
+        qkv0 = shard0(lp.qkv, "out")
+        gu0 = shard0(lp.gateup, "out")
+        o0 = shard0(lp.o, "in")
+        dn0 = shard0(lp.down, "in")
+        x_h = jnp.ones((1, cfg.hidden_size), jnp.bfloat16)
+        x_o = jnp.ones((1, o0.in_features), jnp.bfloat16)
+        x_d = jnp.ones((1, dn0.in_features), jnp.bfloat16)
+        for xx, qt in ((x_h, qkv0), (x_h, gu0), (x_o, o0), (x_d, dn0)):
+            np.asarray(q4_matmul(xx, qt, impl="pallas"))           # GEMV
+            xp = jnp.ones((256, xx.shape[1]), jnp.bfloat16)
+            np.asarray(q4_matmul(xp, qt, impl="pallas"))           # prefill
+
     for c in (c1, c2, c3, c4, c5, c6, c7, c7b, c7c, c7d, c7e, c7f,
-              c8, c8b, c9, c10, c11, c12, c13):
+              c8, c8b, c9, c10, c11, c12, c13, c14):
         c()
 
     bad_default = [k for k, v in RESULTS.items()

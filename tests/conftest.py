@@ -17,14 +17,14 @@ if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Use a machine-local XLA compile cache: the default shared cache can hold
-# executables compiled on hosts with different CPU features (see the
-# cpu_aot_loader machine-feature warnings), and deserializing those can
-# SIGILL/segfault mid-suite. A dir this host populates itself is safe and
-# keeps repeat suite runs fast.
-jax.config.update(
-    "jax_compilation_cache_dir", "/tmp/exllama_tpu_test_xla_cache"
-)
+# NO persistent XLA cache on the CPU backend: round-5 observed segfaults in
+# BOTH cache directions mid-suite — deserializing entries written by a
+# differently-featured host (cpu_aot_loader machine-mismatch → SIGILL) and
+# serializing multi-device shard_map executables (put_executable_and_time
+# SEGV). utils/compile_cache.py applies the same policy for any process on
+# the cpu platform; the env override below keeps the package init from
+# re-enabling it.
+os.environ.setdefault("EXLLAMA_TPU_CACHE_DIR", "off")
 
 import pytest  # noqa: E402
 
