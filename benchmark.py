@@ -200,6 +200,64 @@ def run_ppl(model, cache, tokenizer, args, impl=None):
     return value
 
 
+def run_ppl_turbo(model, cache, tokenizer, args):
+    """Numerics certificate for the opt-in turbo modes (the ±0.05-ppl
+    contract, BASELINE.md; reference methodology
+    test_benchmark_inference.py:226-256 generalized to the approximate
+    paths): perplexity deltas vs the exact kernel path on the SAME
+    checkpoint + dataset. ``pallas_a8t`` is the turbo-PREFILL mode —
+    full-chunk logits exercise exactly the prefill kernels the turbo
+    prompt numbers ride; ``pallas_a8``/``pallas_a8x2`` are DECODE modes,
+    certified token-by-token (each position forwarded through the GEMV
+    kernels like real decode)."""
+    import json as _json
+
+    import jax
+
+    sfx = "" if jax.default_backend() == "tpu" else "_interpret"
+    res = {}
+    res["exact"] = run_ppl(model, cache, tokenizer, args, impl="pallas" + sfx)
+
+    from exllama_tpu.models.llama import _attach_prefill_w8
+
+    model.config.tuning.matmul_impl = "pallas_a8t" + sfx
+    p_save = model.params
+    model.params = _attach_prefill_w8(model.params, model.config)
+    res["a8t"] = run_ppl(
+        model, cache, tokenizer, args, impl="pallas_a8t" + sfx
+    )
+    model.params = p_save
+
+    tk_chunks = max(1, args.ppl_chunks // 4)   # token-by-token is ~100x
+    for impl in ("pallas_a8", "pallas_a8x2"):
+        model.config.tuning.matmul_impl = impl + sfx
+        ppl = Perplexity(model, cache, tokenizer)
+        ppl.load(args.dataset, chunk_truncate=args.length)
+        v = ppl.test(chunk_limit=tk_chunks, ppl_token=True, silent=False)
+        # exact-path token-by-token baseline over the same chunks
+        model.config.tuning.matmul_impl = "pallas" + sfx
+        ppl2 = Perplexity(model, cache, tokenizer)
+        ppl2.load(args.dataset, chunk_truncate=args.length)
+        v0 = ppl2.test(chunk_limit=tk_chunks, ppl_token=True, silent=False)
+        res[impl.replace("pallas_", "") + "_token"] = v
+        res["exact_token"] = v0
+        print(f" ** Token ppl {impl}: {v:.4f} (exact {v0:.4f}, "
+              f"Δ {v - v0:+.4f})")
+    model.config.tuning.matmul_impl = "auto"
+    out = {
+        "exact_ppl": res["exact"],
+        "a8t_ppl": res["a8t"],
+        "a8t_delta": res["a8t"] - res["exact"],
+        "a8_token_delta": res.get("a8_token", 0) - res.get("exact_token", 0),
+        "a8x2_token_delta": res.get("a8x2_token", 0)
+        - res.get("exact_token", 0),
+    }
+    print(" ** turbo-ppl certificate: " + _json.dumps(
+        {k: round(v, 4) for k, v in out.items()}
+    ))
+    return out
+
+
 def run_validate(model, cache, tokenizer, args, level):
     import jax
 
@@ -258,6 +316,10 @@ def main():
     parser.add_argument("-v", "--validate", action="count", default=0)
     parser.add_argument("-ds", "--dataset", type=str, default=None)
     parser.add_argument("--ppl_chunks", type=int, default=8)
+    parser.add_argument("--ppl_turbo", action="store_true",
+                        help="perplexity deltas of the opt-in turbo modes "
+                             "(a8t prefill; a8/a8x2 decode, token-by-token) "
+                             "vs the exact kernel path")
     parser.add_argument("--synthetic", type=str, choices=list(SYNTH_SHAPES),
                         help="use a fabricated checkpoint of this size")
     parser.add_argument("--groupsize", type=int, default=128)
@@ -271,7 +333,9 @@ def main():
                              "see docs/PARITY.md)")
     args = parser.parse_args()
     model_init.apply_platform(args)
-    if args.dataset is None and (args.perplexity or args.validate):
+    if args.dataset is None and (
+        args.perplexity or args.validate or args.ppl_turbo
+    ):
         bundled = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "datasets", "wikitext2_val_sample.jsonl",
@@ -295,6 +359,8 @@ def main():
         run_streams(model, args)
     if args.perplexity and args.dataset:
         run_ppl(model, cache, tokenizer, args)
+    if args.ppl_turbo and args.dataset:
+        run_ppl_turbo(model, cache, tokenizer, args)
     if args.validate:
         run_validate(model, cache, tokenizer, args, args.validate)
 

@@ -814,9 +814,8 @@ def permute_out_columns(qt: QuantTensor, perm: np.ndarray) -> QuantTensor:
     zp = np.zeros_like(z)
     sp[:, :n] = s[:, :n][:, perm]
     zp[:, :n] = z[:, :n][:, perm]
-    import jax.numpy as jnp
-
+    # host arrays out: later host transforms (tp retiling) would otherwise
+    # round-trip the device; callers upload once at the end of loading
     return dataclasses.replace(
-        qt, qweight=jnp.asarray(pack_npair(qp)),
-        scales=jnp.asarray(sp), zscale=jnp.asarray(zp),
+        qt, qweight=pack_npair(qp), scales=sp, zscale=zp,
     )

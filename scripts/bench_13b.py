@@ -73,6 +73,41 @@ _traw = time.perf_counter() - t0
 prompt_ts = prompt_len / max(_traw - LAT, 1e-9)
 log(f"prompt: {prompt_ts:.0f} tok/s (raw {prompt_len/_traw:.0f})")
 
+# --- turbo prompt (W4A8, partial residency under the default auto budget:
+# 13B fits the full model on one chip, so this is the real end-to-end
+# deployment path — images attach benefit-ordered until the HBM budget,
+# the rest runs the in-kernel requant with static column scales)
+try:
+    from exllama_tpu.models.llama import _attach_prefill_w8
+
+    model.config.tuning.matmul_impl = "pallas_a8t"
+    t0 = time.perf_counter()
+    params_t = _attach_prefill_w8(model.params, model.config)
+    n_img = sum(
+        1 for lp in params_t.layers
+        for f in ("q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup")
+        if getattr(lp, f) is not None and getattr(lp, f).w8 is not None
+    )
+    p_save, model.params = model.params, params_t
+    log(f"w8 attach: {n_img} images in {time.perf_counter()-t0:.0f}s")
+    best_t = None
+    for _ in range(3):
+        cache.current_seq_len = 0
+        t0 = time.perf_counter()
+        model.forward(ids, cache, preprocess_only=True)
+        np.asarray(cache.state.k[0][0, 0, 0, :1])
+        dt = time.perf_counter() - t0
+        best_t = dt if best_t is None else min(best_t, dt)
+    turbo_ts = prompt_len / max(best_t - LAT, 1e-9)
+    log(f"turbo prompt: {turbo_ts:.0f} tok/s (raw {prompt_len/best_t:.0f}; "
+        f"reference 13B g128 4090: 7,507)")
+    model.params = p_save
+    del params_t
+    model.config.tuning.matmul_impl = "auto"
+except Exception as e:
+    log(f" !! turbo prompt failed ({type(e).__name__}: {str(e)[:200]})")
+    model.config.tuning.matmul_impl = "auto"
+
 step = functools.partial(
     forward_chunk, attend_len=cfg.max_seq_len, last_token_only=True,
     preprocess_only=False, heads=cfg.num_attention_heads,

@@ -39,7 +39,7 @@ GREEDY = SamplerSettings(temperature=1.0, top_k=1, top_p=0.0,
                          token_repetition_penalty_max=1.0)
 
 
-def run_config(slots, ctx, spec=False, steps=48):
+def run_config(slots, ctx, spec=False, steps=48, spec_prompts="friendly"):
     model = build(ctx)
     eng = ContinuousBatchingEngine(
         model, FakeTokenizer(), max_slots=slots, prefill_bucket=256,
@@ -52,7 +52,8 @@ def run_config(slots, ctx, spec=False, steps=48):
     rng = np.random.default_rng(1)
     prompt_len = ctx - steps - 8
     for i in range(slots):
-        if spec:   # repetitive prompts so prompt-lookup drafts accept
+        if spec and spec_prompts == "friendly":
+            # repetitive prompts so prompt-lookup drafts accept
             base = rng.integers(0, 32000, size=16).astype(np.int32)
             prompt = np.tile(base, prompt_len // 16 + 1)[:prompt_len]
         else:
@@ -119,6 +120,13 @@ def main():
         "slots8_ctx1024": run_config(8, 1024),
         "slots16_ctx512": run_config(16, 512),
         "spec_slots8_ctx1024": run_config(8, 1024, spec=True),
+        # 1-slot speculative latency (spec's natural win is single-stream;
+        # VERDICT r4 item 8): an ngram-friendly prompt and an adversarial
+        # (random, drafts never accept) one
+        "spec_slots1_ctx2048": run_config(1, 2048, spec=True),
+        "spec_slots1_ctx2048_adversarial": run_config(
+            1, 2048, spec=True, spec_prompts="adversarial"
+        ),
     }
     print(json.dumps(results))
 

@@ -122,3 +122,33 @@ def test_batch_rows_sample_independently():
     s = SamplerSettings(temperature=1.0, top_k=0, top_p=0.0)
     t, _ = sample(logits, jax.random.PRNGKey(0), s)
     assert t.shape == (4,)
+
+
+def test_rep_mask_windowed_matches_full():
+    """The engine's windowed penalty mask (scatter over the last
+    sustain+decay positions only) must equal the full-history mask —
+    older tokens are outside the decay window by construction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from exllama_tpu.ops.sampling import rep_penalty_mask
+    from exllama_tpu.serve.engine import _rep_mask_windowed
+
+    rng = np.random.default_rng(3)
+    s_max, vocab, b = 2048, 333, 4
+    bufs = rng.integers(0, vocab, size=(b, s_max)).astype(np.int32)
+    lens = np.asarray([5, 300, 1000, 2048], np.int32)
+    pens = np.asarray([1.3, 1.0, 2.0, 1.15], np.float32)
+    for sustain, decay in ((256, 128), (0, 64), (64, 0)):
+        got = np.asarray(_rep_mask_windowed(
+            jnp.asarray(bufs), jnp.asarray(lens), jnp.asarray(pens),
+            vocab, sustain, decay,
+        ))
+        ref = np.stack([
+            np.asarray(rep_penalty_mask(
+                jnp.asarray(bufs[i:i + 1]), jnp.int32(lens[i]), vocab,
+                jnp.float32(pens[i]), sustain, decay,
+            ))[0]
+            for i in range(b)
+        ])
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

@@ -40,7 +40,13 @@ def server():
 
     async def run():
         port_box["stop"] = asyncio.get_running_loop().create_future()
-        async with websockets.serve(proto.handle, "127.0.0.1", 0) as srv:
+        async with websockets.serve(
+            proto.handle, "127.0.0.1", 0,
+            # no keepalive pings: jit compiles inside handlers can
+            # exceed the 20 s ping timeout under xdist CPU
+            # contention and the library then closes the socket
+            ping_interval=None,
+        ) as srv:
             port_box["port"] = srv.sockets[0].getsockname()[1]
             started.set()
             await port_box["stop"]
@@ -61,7 +67,9 @@ def roundtrip(port, requests):
 
     async def go():
         out = []
-        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+        async with websockets.connect(
+            f"ws://127.0.0.1:{port}", ping_interval=None, open_timeout=60,
+        ) as ws:
             for req in requests:
                 await ws.send(json.dumps(req))
                 while True:
