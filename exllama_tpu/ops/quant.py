@@ -238,23 +238,92 @@ def _q4_gemv_kernel_npair(
     # inside each 1024-column aligned block.
     half = PAIR_HALF
     nsub = b8.shape[1] // half
-    for g in range(block_k // gs):
-        blk = b8[g * gs : (g + 1) * gs, :]        # [gs, bn/2]
-        bval = blk.astype(jnp.bfloat16)           # 16 q_hi - 128 + q_lo
-        hv = (blk & (-16)).astype(jnp.bfloat16)   # 16 q_hi - 128
-        xg = xsrc[:, g * gs : (g + 1) * gs]
-        d1 = jnp.dot(xg, bval, preferred_element_type=jnp.float32)
-        d2 = jnp.dot(xg, hv, preferred_element_type=jnp.float32)
-        xs = xg.astype(jnp.float32).sum(axis=1, keepdims=True)
-        for sub in range(nsub):
-            sl = slice(sub * half, (sub + 1) * half)
-            lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
-            hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
-            acc_ref[:, lo_c] += (d1[:, sl] - d2[:, sl]) * s[g : g + 1, lo_c] \
-                - xs * z[g : g + 1, lo_c]
-            acc_ref[:, hi_c] += (d2[:, sl] * 0.0625 + xs * 8.0) * s[
-                g : g + 1, hi_c
-            ] - xs * z[g : g + 1, hi_c]
+    if gs < 128 and block_k % 128 == 0:
+        # g32/g64 specialization (round 5; the generic loop below measured
+        # 0.76 of the HBM roofline at 33B g32 — the per-group work
+        # quadruples while the streamed bytes don't). Two changes:
+        #   1. One 128-deep BLOCK-DIAGONAL dot replaces 128//gs shallow
+        #      dots: lhs rows r·bm..(r+1)·bm hold x masked to sub-group
+        #      r's K-slice, so a single MXU pass yields every sub-group's
+        #      partials (the zero lanes ride the systolic depth the
+        #      shallow dots wasted anyway).
+        #   2. The per-group Σx terms (zero-points and the +8 affine
+        #      offset) leave the loop entirely: collected into [bm, G]
+        #      and contracted against M[g, n] = 8·s·[n is hi] − z in one
+        #      MXU dot per K-block, instead of 3 [bm, bn]-wide FMA
+        #      streams per group.
+        sup = 128 // gs
+        bm_ = xsrc.shape[0]
+        xs_cols = []
+        row = jax.lax.broadcasted_iota(jnp.int32, (sup * bm_, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sup * bm_, 128), 1)
+        diag_mask = (col // gs) == (row // bm_)
+        for sg in range(block_k // 128):
+            xg = xsrc[:, sg * 128 : (sg + 1) * 128]
+            blk = b8[sg * 128 : (sg + 1) * 128, :]       # [128, bn/2]
+            bval = blk.astype(jnp.bfloat16)
+            hv = (blk & (-16)).astype(jnp.bfloat16)
+            xt = jnp.where(
+                diag_mask,
+                jnp.broadcast_to(
+                    xg[None].astype(jnp.float32), (sup, bm_, 128)
+                ).reshape(sup * bm_, 128),
+                0.0,
+            ).astype(xg.dtype)
+            D1 = jnp.dot(xt, bval, preferred_element_type=jnp.float32)
+            D2 = jnp.dot(xt, hv, preferred_element_type=jnp.float32)
+            for r in range(sup):
+                xs_cols.append(
+                    xg[:, r * gs : (r + 1) * gs]
+                    .astype(jnp.float32)
+                    .sum(axis=1, keepdims=True)
+                )
+            gsl = slice(sg * sup, (sg + 1) * sup)
+            Dd = (D1 - D2).reshape(sup, bm_, D1.shape[1])
+            D2r = D2.reshape(sup, bm_, D1.shape[1])
+            for sub in range(nsub):
+                sl = slice(sub * half, (sub + 1) * half)
+                lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+                hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+                # all sup sub-groups' scale applications fused into ONE
+                # accumulator update each (per-group FMAs quadrupled the
+                # [bm, bn] read-modify-write traffic at g32)
+                acc_ref[:, lo_c] += (
+                    Dd[:, :, sl] * s[gsl, lo_c][:, None, :]
+                ).sum(axis=0)
+                acc_ref[:, hi_c] += (
+                    D2r[:, :, sl] * (s[gsl, hi_c] * 0.0625)[:, None, :]
+                ).sum(axis=0)
+        xs_mat = jnp.concatenate(xs_cols, axis=1)        # [bm, G]
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (s.shape[0], s.shape[1]), 1
+        )
+        m_sz = jnp.where((lane % N_ALIGN) >= half, 8.0 * s, 0.0) - z
+        # f32 dot: the z-term is a bulk contribution and the old path
+        # applied it in f32 FMAs; a bf16 contraction here would cost
+        # ~0.4% relative on it. [bm, G] x [G, bn] is tiny either way.
+        acc_ref[:] += jnp.dot(
+            xs_mat, m_sz, preferred_element_type=jnp.float32
+        )
+    else:
+        for g in range(block_k // gs):
+            blk = b8[g * gs : (g + 1) * gs, :]        # [gs, bn/2]
+            bval = blk.astype(jnp.bfloat16)           # 16 q_hi - 128 + q_lo
+            hv = (blk & (-16)).astype(jnp.bfloat16)   # 16 q_hi - 128
+            xg = xsrc[:, g * gs : (g + 1) * gs]
+            d1 = jnp.dot(xg, bval, preferred_element_type=jnp.float32)
+            d2 = jnp.dot(xg, hv, preferred_element_type=jnp.float32)
+            xs = xg.astype(jnp.float32).sum(axis=1, keepdims=True)
+            for sub in range(nsub):
+                sl = slice(sub * half, (sub + 1) * half)
+                lo_c = slice(sub * N_ALIGN, sub * N_ALIGN + half)
+                hi_c = slice(sub * N_ALIGN + half, (sub + 1) * N_ALIGN)
+                acc_ref[:, lo_c] += (d1[:, sl] - d2[:, sl]) * s[
+                    g : g + 1, lo_c
+                ] - xs * z[g : g + 1, lo_c]
+                acc_ref[:, hi_c] += (d2[:, sl] * 0.0625 + xs * 8.0) * s[
+                    g : g + 1, hi_c
+                ] - xs * z[g : g + 1, hi_c]
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
@@ -1202,20 +1271,39 @@ GEMV_MAX_M = 32
 
 
 def _w8_matmul_kernel(
-    xq_ref,      # [bm, K] int8 (row-quantized activations)
-    sx_ref,      # [bm, 1] f32 per-row activation scales
+    x_ref,       # [bm, K] bf16/f32 raw activations
     w8_ref,      # [K, bn] int8
     ws_ref,      # [1, bn] f32 per-column weight scales
     out_ref,     # [bm, bn]
+    xq_scr,      # [bm, K] int8 scratch — quantized once per M tile
+    sx_scr,      # [bm, 128] f32 per-row activation scales (col 0 real; a
+                 #   [bm, 1] scratch is lane-illegal on Mosaic)
     *,
     out_dtype,
 ):
+    """One s8xs8->s32 MXU dot per tile with BOTH quantization stages fused:
+    the per-row activation int8 quant runs in the kernel prologue (once per
+    M tile, at the first N step — the M-outer grid keeps the scratch
+    resident across N), and the (row x column) rescale in the epilogue.
+    The earlier version quantized activations in XLA, costing an extra
+    read+write+read of the activation per matmul call (~0.15 ms/layer of
+    HBM glue at 13B prefill)."""
+    j = pl.program_id(1)                      # N index (inner)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+        xq_scr[:] = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        sx_scr[:] = jnp.broadcast_to(sx, sx_scr.shape)
+
     acc = jax.lax.dot_general(
-        xq_ref[:], w8_ref[:], (((1,), (0,)), ((), ())),
+        xq_scr[:], w8_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out_ref[:] = (
-        acc.astype(jnp.float32) * sx_ref[:] * ws_ref[:]
+        acc.astype(jnp.float32) * sx_scr[:, :1] * ws_ref[:]
     ).astype(out_dtype)
 
 
@@ -1241,23 +1329,20 @@ def _q4_matmul_w8(
     """
     m, k = x2.shape
     n_pad = w8.shape[1]
-    xf = x2.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)   # [M, 1]
-    sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
     bn = N_ALIGN if n_pad % N_ALIGN == 0 else n_pad
     # VMEM accounting (ADVICE r4): full-K blocks at bm=2048 overflow the
-    # 110 MB cap once K is large (70B down-proj K=28672: the double-
-    # buffered int8 x block alone is ~117 MB). Shrink bm until the double-
-    # buffered x + w8 blocks and the f32 out tile fit.
+    # 110 MB cap once K is large (70B down-proj K=28672). Shrink bm until
+    # the double-buffered x + w8 blocks, the int8 quant scratch and the
+    # f32 out tile fit.
     budget = 100 * 1024 * 1024
 
     def w8_vmem(bm_):
         return (
-            bm_ * k * 2          # xq int8, double buffered
+            bm_ * k * x2.dtype.itemsize * 2   # x block, double buffered
+            + bm_ * k                         # xq int8 scratch
             + k * bn * 2         # w8 int8 block, double buffered
-            + bm_ * 4 * 2        # sx
+            + bm_ * 4            # sx scratch
             + bn * 4 * 2         # ws
             + bm_ * bn * 4 * 2   # out tile
         )
@@ -1267,25 +1352,26 @@ def _q4_matmul_w8(
         bm //= 2
     m_pad = -(-m // bm) * bm
     if m_pad != m:
-        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
-        sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
-    grid = (n_pad // bn, m_pad // bm)
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // bm, n_pad // bn)   # N inner: xq scratch reused per M
     out = pl.pallas_call(
         functools.partial(_w8_matmul_kernel, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, i: (0, j),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n_pad,
             bytes_accessed=k * n_pad + m_pad * k * (n_pad // bn)
@@ -1296,7 +1382,7 @@ def _q4_matmul_w8(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xq, sx, w8, w8_scale)
+    )(x2, w8, w8_scale)
     return out[:m]
 
 
