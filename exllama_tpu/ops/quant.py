@@ -1271,39 +1271,20 @@ GEMV_MAX_M = 32
 
 
 def _w8_matmul_kernel(
-    x_ref,       # [bm, K] bf16/f32 raw activations
+    xq_ref,      # [bm, K] int8 (row-quantized activations)
+    sx_ref,      # [bm, 1] f32 per-row activation scales
     w8_ref,      # [K, bn] int8
     ws_ref,      # [1, bn] f32 per-column weight scales
     out_ref,     # [bm, bn]
-    xq_scr,      # [bm, K] int8 scratch — quantized once per M tile
-    sx_scr,      # [bm, 128] f32 per-row activation scales (col 0 real; a
-                 #   [bm, 1] scratch is lane-illegal on Mosaic)
     *,
     out_dtype,
 ):
-    """One s8xs8->s32 MXU dot per tile with BOTH quantization stages fused:
-    the per-row activation int8 quant runs in the kernel prologue (once per
-    M tile, at the first N step — the M-outer grid keeps the scratch
-    resident across N), and the (row x column) rescale in the epilogue.
-    The earlier version quantized activations in XLA, costing an extra
-    read+write+read of the activation per matmul call (~0.15 ms/layer of
-    HBM glue at 13B prefill)."""
-    j = pl.program_id(1)                      # N index (inner)
-
-    @pl.when(j == 0)
-    def _():
-        xf = x_ref[:].astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-        sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
-        xq_scr[:] = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-        sx_scr[:] = jnp.broadcast_to(sx, sx_scr.shape)
-
     acc = jax.lax.dot_general(
-        xq_scr[:], w8_ref[:], (((1,), (0,)), ((), ())),
+        xq_ref[:], w8_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out_ref[:] = (
-        acc.astype(jnp.float32) * sx_scr[:, :1] * ws_ref[:]
+        acc.astype(jnp.float32) * sx_ref[:] * ws_ref[:]
     ).astype(out_dtype)
 
 
@@ -1329,20 +1310,23 @@ def _q4_matmul_w8(
     """
     m, k = x2.shape
     n_pad = w8.shape[1]
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)   # [M, 1]
+    sx = jnp.maximum(amax, 1e-20) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
     bn = N_ALIGN if n_pad % N_ALIGN == 0 else n_pad
     # VMEM accounting (ADVICE r4): full-K blocks at bm=2048 overflow the
-    # 110 MB cap once K is large (70B down-proj K=28672). Shrink bm until
-    # the double-buffered x + w8 blocks, the int8 quant scratch and the
-    # f32 out tile fit.
+    # 110 MB cap once K is large (70B down-proj K=28672: the double-
+    # buffered int8 x block alone is ~117 MB). Shrink bm until the double-
+    # buffered x + w8 blocks and the f32 out tile fit.
     budget = 100 * 1024 * 1024
 
     def w8_vmem(bm_):
         return (
-            bm_ * k * x2.dtype.itemsize * 2   # x block, double buffered
-            + bm_ * k                         # xq int8 scratch
+            bm_ * k * 2          # xq int8, double buffered
             + k * bn * 2         # w8 int8 block, double buffered
-            + bm_ * 4            # sx scratch
+            + bm_ * 4 * 2        # sx
             + bn * 4 * 2         # ws
             + bm_ * bn * 4 * 2   # out tile
         )
@@ -1352,26 +1336,25 @@ def _q4_matmul_w8(
         bm //= 2
     m_pad = -(-m // bm) * bm
     if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    grid = (m_pad // bm, n_pad // bn)   # N inner: xq scratch reused per M
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
+    grid = (n_pad // bn, m_pad // bm)
     out = pl.pallas_call(
         functools.partial(_w8_matmul_kernel, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((k, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm, k), jnp.int8),
-            pltpu.VMEM((bm, 128), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n_pad,
             bytes_accessed=k * n_pad + m_pad * k * (n_pad // bn)
@@ -1382,7 +1365,7 @@ def _q4_matmul_w8(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x2, w8, w8_scale)
+    )(xq, sx, w8, w8_scale)
     return out[:m]
 
 
