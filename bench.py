@@ -47,7 +47,7 @@ def guard(name):
     return deco
 
 
-def build_model(layers=32):
+def build_model(layers=32, quant_head=False):
     from exllama_tpu.config import ExLlamaConfig
     from exllama_tpu.formats.loader import make_synthetic_params
     from exllama_tpu.models.llama import ExLlama
@@ -57,6 +57,7 @@ def build_model(layers=32):
     cfg.max_seq_len = 2048
     cfg.max_input_len = 2048
     cfg.max_attention_size = 2048 ** 2
+    cfg.tuning.quantize_lm_head = quant_head
     params = make_synthetic_params(
         cfg, groupsize=128, act_order=False, seed=0, fast=True
     )
@@ -276,6 +277,53 @@ def main():
 
     best_ts = run_best()
 
+    @guard("best_decode_qhead")
+    def run_best_qhead():
+        # opt-in: 4-bit lm_head (the reference keeps its head fp16;
+        # tuning.quantize_lm_head trades a small logit-precision loss for
+        # a ~36% best-ctx gain — ab_best.py round 5). Exact layer path.
+        if backend != "tpu":
+            return None
+        m2 = build_model(layers, quant_head=True)
+        from exllama_tpu.cache import ExLlamaCache as _C
+
+        kw = dict(
+            attend_len=256, last_token_only=True, preprocess_only=False,
+            matmul_impl=m2._matmul_impl(), attn_impl=m2._attn_impl(),
+            head_mode="argmax", **common,
+        )
+        step2 = functools.partial(forward_chunk, **kw)
+
+        @functools.partial(
+            jax.jit, static_argnames=("n",), donate_argnames=("kv",)
+        )
+        def dec2(params, kv, tok, past_len, *, n):
+            def body(i, carry):
+                kv, tok, pos = carry
+                tok, kv = step2(params, kv, tok, pos, None, None)
+                return kv, tok.reshape(1, 1).astype(jnp.int32), pos + 1
+            kv, tok, pos = jax.lax.fori_loop(
+                0, n, body, (kv, tok, past_len)
+            )
+            return kv, tok
+
+        kv2 = _C(m2).state
+        kv2, tok = dec2(m2.params, kv2, tok0, jnp.int32(1), n=decode_len)
+        sync(tok)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            kv2, tok = dec2(m2.params, kv2, tok0, jnp.int32(1), n=decode_len)
+            sync(tok)
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        ts = decode_len / max(t - lat, 1e-9)
+        print(f" -- best decode (q4 head, opt-in) {ts:.2f} tok/s",
+              flush=True)
+        return ts
+
+    best_qhead_ts = run_best_qhead()
+
     int8kv_ts = simple_variant("int8kv_decode", "int8kv decode",
                                kv_dtype=jnp.int8)
     turbo_ts = simple_variant("turbo_decode", "turbo decode",
@@ -318,6 +366,7 @@ def main():
         "decode_tok_s_raw_call": rnd(decode_raw),
         "a8x2_decode_tok_s": rnd(a8x2_ts),
         "best_decode_tok_s": rnd(best_ts),
+        "best_decode_q4head_tok_s": rnd(best_qhead_ts),
         "int8kv_decode_tok_s": rnd(int8kv_ts),
         "turbo_decode_tok_s": rnd(turbo_ts),
         "prompt_tok_s": rnd(prompt_ts, 1),
