@@ -110,9 +110,12 @@ class TuningParams:
     # "off" always uses the in-kernel requant (deqw8) instead; "on" forces
     # residency regardless of budget. No effect on exact/decode paths.
     prefill_w8: str = "auto"
-    # "auto" enables w8 residency only while (packed weights + w8 image)
-    # stay under this many GiB — leave headroom for KV + activations.
-    prefill_w8_budget_gb: float = 12.0
+    # "auto" spends this HBM budget on (packed weights + configured KV
+    # cache + as many per-tensor w8 images as fit, benefit-ordered —
+    # models/llama._attach_prefill_w8); the ~2.5 GiB left over covers
+    # activations + kernel workspace on a 16 GiB v5e. Engines running many
+    # slots (larger KV than the batch-1 estimate) should lower this.
+    prefill_w8_budget_gb: float = 13.5
 
 
 class ExLlamaConfig:

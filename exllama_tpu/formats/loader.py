@@ -180,6 +180,13 @@ def load_model_params(config: ExLlamaConfig, mesh=None):
         rope_sin=sin,
         rope_cos=cos,
     )
+    # EVERY leaf to device, not just the layers: a quantized lm_head is
+    # built from host arrays, and a numpy leaf re-uploads per jit call
+    # (~0.2 s/call for the 7B head through the tunnel — the round-4 trap,
+    # re-hit in round 5 via the host-side synthetic-build change)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, params
+    )
     if mesh is not None:
         from exllama_tpu.parallel.mesh import shard_params
 
@@ -329,6 +336,13 @@ def make_synthetic_params(
         lm_head=lm_head,
         rope_sin=sin,
         rope_cos=cos,
+    )
+    # EVERY leaf to device, not just the layers: a quantized lm_head is
+    # built from host arrays, and a numpy leaf re-uploads per jit call
+    # (~0.2 s/call for the 7B head through the tunnel — the round-4 trap,
+    # re-hit in round 5 via the host-side synthetic-build change)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, params
     )
     if mesh is not None:
         from exllama_tpu.parallel.mesh import shard_params
