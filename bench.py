@@ -281,7 +281,9 @@ def main():
     def run_best_qhead():
         # opt-in: 4-bit lm_head (the reference keeps its head fp16;
         # tuning.quantize_lm_head trades a small logit-precision loss for
-        # a ~36% best-ctx gain — ab_best.py round 5). Exact layer path.
+        # the head's ~0.26 ms/step stream cost — micro_head.py isolation,
+        # round 5; an earlier ab_best.py reading of 196 t/s was a
+        # measurement artifact). Exact layer path.
         if backend != "tpu":
             return None
         m2 = build_model(layers, quant_head=True)
