@@ -44,6 +44,15 @@ from exllama_tpu.ops.norms import rms_norm
 from exllama_tpu.ops.quant import q4_matmul
 from exllama_tpu.ops.rope import apply_rope_sliced, rope_tables, slice_tables
 
+# Decode steps whose attention window is at most this many tokens resolve
+# attn_impl="auto" to XLA attention instead of the flash kernel: the KV
+# stream is tiny there and the flash kernel's (plus the flash-gated layer
+# megakernels') fixed cost dominates — measured layers-only at B=1
+# attend 256: fused-flash 6.57 ms vs separate-XLA 5.77 ms, and at B=8
+# attend 1024: 15.7 vs 13.8 (scripts/ab_best2.py, scripts/ab_b8.py,
+# 2026-08-21). Module-level so tests can shrink it.
+SHORT_ATTEND_XLA_LEN = 256
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -452,12 +461,22 @@ def _forward_impl(
         # Resolve here (trace time) so the fused-layer gates below see the
         # concrete impl — callers that don't thread model._attn_impl()
         # (engine, beam, speculative) still get the megakernel path.
+        #
+        # Short-attend decode steps take XLA attention instead: at
+        # attend_len ≤ 256 the KV stream is tiny and the flash kernel's
+        # (and, transitively, the fused layer megakernels') fixed cost
+        # dominates — measured layers-only at attend 256, B=1:
+        # fused-flash 6.57 ms vs separate-XLA 5.77 ms = 152 → 173 t/s
+        # (scripts/ab_best2.py, 2026-08-21). Worst-ctx keeps flash+fusion
+        # (7.08 ms vs XLA's score-materializing path, which loses badly
+        # at long attend). "flash"/"xla" pin the impl explicitly.
         from exllama_tpu.ops.attention import flash_supported_head_dim
 
         attn_impl = (
             "flash"
             if jax.default_backend() == "tpu"
             and flash_supported_head_dim(head_dim)
+            and not (t == 1 and attend_len <= SHORT_ATTEND_XLA_LEN)
             else "xla"
         )
     h = jnp.take(params.embed, tokens, axis=0)  # [B, T, hidden]
@@ -868,13 +887,18 @@ class ExLlama:
             # (e.g. OpenLlama-3B's 100) take the einsum path.
             from exllama_tpu.ops.attention import flash_supported_head_dim
 
+            if jax.default_backend() == "tpu" and flash_supported_head_dim(
+                self.config.head_dim
+            ):
+                # Stay "auto": forward_chunk resolves per call so its
+                # short-attend demotion (flash→xla at attend_len ≤ 256,
+                # where the flash kernel's fixed cost beats the tiny KV
+                # stream — scripts/ab_best2.py) can see attend_len.
+                return "auto"
             impl = (
                 "flash"
                 if jax.default_backend() == "tpu"
-                and (
-                    flash_supported_head_dim(self.config.head_dim)
-                    or self.config.tuning.pad_head_dim
-                )
+                and self.config.tuning.pad_head_dim
                 else "xla"
             )
         return impl

@@ -72,16 +72,19 @@ def main():
     log(f"prefill done (B={B}, ctx={CTX}, prompt={prompt_len})")
 
     def make(kind, fuse=True):
+        nohead_kinds = ("nohead", "xla_attn", "attend512")
         step = functools.partial(
             forward_chunk,
-            attend_len=CTX, last_token_only=True,
-            preprocess_only=(kind == "nohead"),
+            attend_len=512 if kind == "attend512" else CTX,
+            last_token_only=True,
+            preprocess_only=(kind in nohead_kinds),
             heads=cfg.num_attention_heads,
             kv_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
             eps=cfg.rms_norm_eps, matmul_impl="pallas",
             mlp_fuse=fuse, attn_fuse=fuse,
+            attn_impl="xla" if kind == "xla_attn" else "auto",
             head_mode="logits" if kind in ("rep", "sampler") else (
-                "argmax" if kind != "nohead" else "logits"),
+                "argmax" if kind not in nohead_kinds else "logits"),
         )
 
         @functools.partial(jax.jit, donate_argnames=("kv",))
@@ -89,13 +92,13 @@ def main():
             def body(i, c):
                 kv, tok, pos, seq_bufs, seq_lens, key = c
                 out, kv = step(params, kv, tok, pos, None, None)
-                if kind == "nohead":
+                if kind in nohead_kinds:
                     nxt = tok
                 elif kind in ("argmax", "sep"):
                     nxt = out.reshape(B, 1).astype(jnp.int32) % 32000
                     pos = pos + 1
                 else:
-                    lg = out[:, -1, :].astype(jnp.float32)
+                    lg = out.reshape(B, -1).astype(jnp.float32)
                     if kind == "rep":
                         vmask = _rep_mask_windowed(
                             seq_bufs, seq_lens, jnp.full((B,), 1.15),
@@ -121,7 +124,7 @@ def main():
                     seq_lens = seq_lens + 1
                     pos = pos + 1
                     nxt = nt[:, None]
-                if kind == "nohead":
+                if kind in nohead_kinds:
                     pos = pos + 1
                 return kv, nxt, pos, seq_bufs, seq_lens, key
             c = jax.lax.fori_loop(
@@ -129,8 +132,15 @@ def main():
             return c[0], c[1]
         return loop
 
-    kinds = [("nohead", True), ("argmax", True), ("sep", False),
-             ("glue", True), ("rep", True), ("sampler", True)]
+    if os.environ.get("AB_B8_ATTN"):
+        # attention-isolation set: the first run showed the B=8 layer
+        # stack at 15.7 ms vs a 10.5 ms stream roofline with fusion
+        # gates/glue/head all neutral -- localize attention vs GEMV.
+        kinds = [("nohead", True), ("xla_attn", False),
+                 ("attend512", True)]
+    else:
+        kinds = [("nohead", True), ("argmax", True), ("sep", False),
+                 ("glue", True), ("rep", True), ("sampler", True)]
     tok0 = jnp.asarray(np.full((B, 1), 7, np.int32))
     seq_bufs0 = jnp.zeros((B, CTX), jnp.int32)
     eos_ban = jnp.zeros((B, cfg.vocab_size), jnp.float32)
@@ -138,7 +148,7 @@ def main():
 
     loops, kv = {}, kv0
     for kind, fuse in kinds:
-        name = kind if fuse else "sep"
+        name = kind
         loops[name] = make(kind, fuse)
         t0 = time.time()
         pos0 = jnp.full((B,), prompt_len, jnp.int32)
@@ -151,7 +161,7 @@ def main():
     times = {n: [] for n, _ in kinds}
     for _ in range(4):
         for kind, fuse in kinds:
-            name = kind if fuse else "sep"
+            name = kind
             pos0 = jnp.full((B,), prompt_len, jnp.int32)
             lens0 = jnp.full((B,), prompt_len, jnp.int32)
             t0 = time.perf_counter()

@@ -52,14 +52,29 @@ def main():
     def sync(x):
         return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
-    VARIANTS = {
-        "fused_256": dict(attend_len=256),
-        "sep_256": dict(attend_len=256, mlp_fuse=False, attn_fuse=False),
-        "xla_256": dict(attend_len=256, mlp_fuse=False, attn_fuse=False,
-                        attn_impl="xla"),
-        "fused_64": dict(attend_len=64),
-        "fused_2048": dict(attend_len=2048),
-    }
+    if os.environ.get("AB_BEST2_XLA2048"):
+        # round-2 of the probe: B=8 showed xla attention beating flash at
+        # attend 1024 (ab_b8.py AB_B8_ATTN) — check whether the B=1
+        # worst-ctx headline path also prefers xla before regating it.
+        VARIANTS = {
+            "fused_2048": dict(attend_len=2048),
+            "xla_2048": dict(attend_len=2048, mlp_fuse=False,
+                             attn_fuse=False, attn_impl="xla"),
+            "xlafuse_2048": dict(attend_len=2048, attn_impl="xla"),
+            "xla_1024": dict(attend_len=1024, mlp_fuse=False,
+                             attn_fuse=False, attn_impl="xla"),
+            "fused_1024": dict(attend_len=1024),
+        }
+    else:
+        VARIANTS = {
+            "fused_256": dict(attend_len=256),
+            "sep_256": dict(attend_len=256, mlp_fuse=False,
+                            attn_fuse=False),
+            "xla_256": dict(attend_len=256, mlp_fuse=False,
+                            attn_fuse=False, attn_impl="xla"),
+            "fused_64": dict(attend_len=64),
+            "fused_2048": dict(attend_len=2048),
+        }
 
     def make(over):
         kw = dict(
@@ -67,7 +82,10 @@ def main():
             heads=cfg.num_attention_heads,
             kv_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
             eps=cfg.rms_norm_eps, matmul_impl="pallas",
-            attn_impl=model._attn_impl(),
+            # pin flash: since the round-5 short-attend auto demotion the
+            # "auto" impl resolves to xla at attend<=256, which would
+            # silently change what the fused_* variants measure
+            attn_impl="flash",
         )
         kw.update(over)
         step = functools.partial(forward_chunk, **kw)

@@ -255,9 +255,11 @@ def test_head_mode_argmax_matches_logits_argmax():
 def test_auto_attn_impl_engages_fused_layer_tail(monkeypatch):
     """Regression: attn_impl='auto' (every caller that doesn't thread
     model._attn_impl() — engine, beam, speculative, bench) must resolve to
-    'flash' at trace time so the fused layer-tail megakernel engages; the
-    gate used to compare the literal string 'auto' and silently fall back
-    to the separate kernels."""
+    'flash' at trace time FOR LONG-ATTEND DECODE so the fused layer-tail
+    megakernel engages; the gate used to compare the literal string 'auto'
+    and silently fall back to the separate kernels. Short attend
+    (attend_len ≤ 256) intentionally demotes to xla attention instead
+    (round-5 measurement, scripts/ab_best2.py) — covered below."""
     import exllama_tpu.models.llama as L
     import exllama_tpu.ops.attn_block as AB
     from exllama_tpu.models.llama import forward_chunk
@@ -268,6 +270,10 @@ def test_auto_attn_impl_engages_fused_layer_tail(monkeypatch):
     cfg.head_dim = 128          # lane-legal: attn_o_applicable requires it
     cfg.hidden_size = 256
     cfg.tuning.matmul_impl = "pallas_interpret"
+    # shrink the short-attend xla demotion threshold below this test's
+    # attend_len=16 so the flash/fused resolution still engages at tiny
+    # test shapes; the short leg below drops under it instead
+    monkeypatch.setattr(L, "SHORT_ATTEND_XLA_LEN", 8)
     model = make_model(cfg)
     cache = ExLlamaCache(model)
     ids = np.arange(6, dtype=np.int32)[None, :]
@@ -294,3 +300,22 @@ def test_auto_attn_impl_engages_fused_layer_tail(monkeypatch):
     )
     assert len(calls) == cfg.num_hidden_layers
     assert np.all(np.isfinite(np.asarray(out)))
+
+    # short-attend decode (attend_len ≤ 256): auto demotes to xla
+    # attention — the megakernel must NOT engage, and the step must agree
+    # with the long-attend one on the visible window
+    calls.clear()
+    cache2 = ExLlamaCache(model)   # first call donated cache.state
+    model.forward(ids, cache2, preprocess_only=True)
+    out2, _ = forward_chunk(
+        model.params, cache2.state, jnp.asarray([[5]], jnp.int32),
+        jnp.int32(cache2.current_seq_len), None, None,
+        attend_len=8, last_token_only=True, preprocess_only=False,
+        heads=2, kv_heads=2, head_dim=128, eps=cfg.rms_norm_eps,
+        matmul_impl="pallas_interpret",
+    )
+    assert len(calls) == 0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(out2, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
