@@ -65,6 +65,30 @@ def main():
                              attn_fuse=False, attn_impl="xla"),
             "fused_1024": dict(attend_len=1024),
         }
+    elif os.environ.get("AB_BEST2_DEFAULT"):
+        # round-3 of the probe: the short-attend auto demotion shipped off
+        # the xla_256 (fuse-off) reading, but the shipped default keeps
+        # mlp_fuse=True (q4_mlp engages regardless of attn impl) — measure
+        # the ACTUAL default combo plus full-step (head included) rows so
+        # the numbers compare 1:1 against the reference's 173 t/s.
+        head = dict(preprocess_only=False, head_mode="argmax")
+        VARIANTS = {
+            "xsep_256": dict(attend_len=256, mlp_fuse=False,
+                             attn_fuse=False, attn_impl="xla"),
+            "xmlp_256": dict(attend_len=256, attn_fuse=False,
+                             attn_impl="xla"),
+            "default_256": dict(attend_len=256, attn_impl="auto"),
+            "xmlp_head_256": dict(attend_len=256, attn_fuse=False,
+                                  attn_impl="xla", **head),
+            "xsep_head_256": dict(attend_len=256, mlp_fuse=False,
+                                  attn_fuse=False, attn_impl="xla", **head),
+            # unfused dense head (rms_norm + dense GEMV + XLA argmax):
+            # micro_head measured it 0.05 ms CHEAPER than the fused
+            # head_argmax kernel at T=1
+            "xmlp_lhead_256": dict(attend_len=256, attn_fuse=False,
+                                   attn_impl="xla", preprocess_only=False,
+                                   head_mode="logits"),
+        }
     else:
         VARIANTS = {
             "fused_256": dict(attend_len=256),
@@ -88,13 +112,19 @@ def main():
             attn_impl="flash",
         )
         kw.update(over)
+        with_head = not kw.get("preprocess_only", True)
         step = functools.partial(forward_chunk, **kw)
 
         @functools.partial(jax.jit, donate_argnames=("kv",))
         def loop(params, kv, tok, pos):
             def body(i, c):
                 kv, tok, pos = c
-                _, kv = step(params, kv, tok, pos, None, None)
+                out, kv = step(params, kv, tok, pos, None, None)
+                if with_head:
+                    # feed the produced token back so the head isn't DCE'd
+                    if kw.get("head_mode") == "logits":
+                        out = jnp.argmax(out[:, -1, :], axis=-1)
+                    tok = out.reshape(1, 1).astype(jnp.int32)
                 return kv, tok, pos + 1
             return jax.lax.fori_loop(0, STEPS, body, (kv, tok, pos))
         return loop

@@ -278,6 +278,12 @@ def test_auto_attn_impl_engages_fused_layer_tail(monkeypatch):
     cache = ExLlamaCache(model)
     ids = np.arange(6, dtype=np.int32)[None, :]
     model.forward(ids, cache, preprocess_only=True)
+    # prefill the short-attend leg's cache NOW, before default_backend is
+    # patched to "tpu" below — afterwards model.forward would resolve
+    # attn_impl=auto to the real flash kernel, which cannot lower on the
+    # CPU test backend
+    cache2 = ExLlamaCache(model)
+    model.forward(ids, cache2, preprocess_only=True)
 
     calls = []
     real = AB.layer_tail
@@ -305,8 +311,6 @@ def test_auto_attn_impl_engages_fused_layer_tail(monkeypatch):
     # attention — the megakernel must NOT engage, and the step must agree
     # with the long-attend one on the visible window
     calls.clear()
-    cache2 = ExLlamaCache(model)   # first call donated cache.state
-    model.forward(ids, cache2, preprocess_only=True)
     out2, _ = forward_chunk(
         model.params, cache2.state, jnp.asarray([[5]], jnp.int32),
         jnp.int32(cache2.current_seq_len), None, None,
