@@ -48,10 +48,23 @@ from exllama_tpu.ops.rope import apply_rope_sliced, rope_tables, slice_tables
 # attn_impl="auto" to XLA attention instead of the flash kernel: the KV
 # stream is tiny there and the flash kernel's (plus the flash-gated layer
 # megakernels') fixed cost dominates — measured layers-only at B=1
-# attend 256: fused-flash 6.57 ms vs separate-XLA 5.77 ms, and at B=8
-# attend 1024: 15.7 vs 13.8 (scripts/ab_best2.py, scripts/ab_b8.py,
-# 2026-08-21). Module-level so tests can shrink it.
-SHORT_ATTEND_XLA_LEN = 256
+# (scripts/ab_best2.py, 2026-08-21):
+#   attend  256: fused-flash 6.58 ms vs xla+mlpfuse 5.57 ms (xla wins)
+#   attend 1024: fused-flash 6.66 ms vs xla-separate 6.61 ms (tie; the
+#                mlp_fuse gain of ~0.19 ms is attend-independent, so the
+#                shipped xla+mlpfuse combo wins)
+#   attend 2048: fused-flash 7.05 ms vs xla+mlpfuse 7.28 ms (flash wins —
+#                worst-ctx keeps the flash megakernel path)
+# Module-level so tests can shrink it.
+SHORT_ATTEND_XLA_LEN = 1024
+# Batched decode (B>1) demotes over a larger window: the flash decode
+# kernel's fixed cost scales with the batched grid, so XLA attention wins
+# well past the B=1 threshold — measured layers-only at B=8 attend 1024:
+# fused-flash 15.76 ms vs separate-XLA 13.80 ms (scripts/ab_b8.py
+# AB_B8_ATTN, 2026-08-21). Applied as b·attend ≤ this product so the
+# boundary tracks the measured point without extrapolating to B·attend
+# regimes no probe has covered.
+SHORT_ATTEND_XLA_BATCH_PRODUCT = 8 * 1024
 
 
 @jax.tree_util.register_dataclass
@@ -462,21 +475,24 @@ def _forward_impl(
         # concrete impl — callers that don't thread model._attn_impl()
         # (engine, beam, speculative) still get the megakernel path.
         #
-        # Short-attend decode steps take XLA attention instead: at
-        # attend_len ≤ 256 the KV stream is tiny and the flash kernel's
-        # (and, transitively, the fused layer megakernels') fixed cost
-        # dominates — measured layers-only at attend 256, B=1:
-        # fused-flash 6.57 ms vs separate-XLA 5.77 ms = 152 → 173 t/s
-        # (scripts/ab_best2.py, 2026-08-21). Worst-ctx keeps flash+fusion
-        # (7.08 ms vs XLA's score-materializing path, which loses badly
-        # at long attend). "flash"/"xla" pin the impl explicitly.
+        # Short-attend decode steps take XLA attention instead: the flash
+        # kernel's (and, transitively, the fused layer megakernels') fixed
+        # cost dominates its KV-stream advantage until the window is large
+        # — see the SHORT_ATTEND_XLA_* tables above for the measured
+        # crossovers (B=1 crossover ~1024–2048; B>1 scales with the
+        # batched grid). Worst-ctx (B=1, attend 2048) keeps flash+fusion.
+        # "flash"/"xla" pin the impl explicitly.
         from exllama_tpu.ops.attention import flash_supported_head_dim
 
+        demote = t == 1 and (
+            attend_len <= SHORT_ATTEND_XLA_LEN
+            or (b > 1 and b * attend_len <= SHORT_ATTEND_XLA_BATCH_PRODUCT)
+        )
         attn_impl = (
             "flash"
             if jax.default_backend() == "tpu"
             and flash_supported_head_dim(head_dim)
-            and not (t == 1 and attend_len <= SHORT_ATTEND_XLA_LEN)
+            and not demote
             else "xla"
         )
     h = jnp.take(params.embed, tokens, axis=0)  # [B, T, hidden]
